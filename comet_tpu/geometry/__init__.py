@@ -1,0 +1,32 @@
+from .quaternions import (
+    quat_normalize,
+    quat_multiply,
+    quat_conjugate,
+    quat_invert,
+    quat_to_matrix,
+    matrix_to_quat,
+    quat_standardize,
+    random_quaternions,
+    geodesic_angle_from_matrices,
+    rotation_angle_from_quats,
+    euler_xyz_from_matrix,
+    se3_matrix_row_convention,
+    se3_inverse_row_convention,
+)
+from .embeddings import (
+    sincos_1d_from_grid,
+    sincos_time_embed,
+    sincos_2d_pos_embed,
+    sincos_2d_pos_embed_grid,
+    embed_2d_coords,
+    harmonic_embedding,
+)
+from .cameras import CameraSet, make_camera_set
+from .codecs import (
+    Intrinsics,
+    INTRINSICS_TABLE,
+    encode_relative_uvz,
+    decode_relative_uvz,
+    encode_relative_xyz,
+    decode_relative_xyz,
+)

@@ -1,0 +1,102 @@
+"""Bilinear sampling and align-corners resizing as XLA gathers, pure jnp.
+
+TPU-native replacement for torch ``F.grid_sample`` / ``F.interpolate``
+(align_corners=True) as used by the reference's ``bilinear_sampler`` /
+``sample_features4d`` (comet/models/utils.py:874-974) and the encoder
+pyramids (comet/models/track_modules/blocks.py:199-202).
+
+Feature maps are channel-last ([..., H, W, C]) — the natural TPU layout —
+and coordinates are in *pixel* units (x, y), matching the reference's
+align_corners=True convention where coordinate 0 is the center of the
+first pixel and H-1/W-1 the center of the last.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(
+    fmap: jax.Array, pts: jax.Array, padding_mode: str = "border"
+) -> jax.Array:
+    """Sample fmap [H, W, C] at pts [..., 2] (x, y pixels) -> [..., C].
+
+    padding_mode "border" clamps coordinates (grid_sample border);
+    "zeros" zeroes contributions from out-of-range neighbours.
+    """
+    h, w, _ = fmap.shape
+    x = pts[..., 0]
+    y = pts[..., 1]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0).astype(fmap.dtype)[..., None]
+    dy = (y - y0).astype(fmap.dtype)[..., None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = fmap[yc, xc]  # advanced indexing -> XLA gather
+        if padding_mode == "zeros":
+            inside = (
+                (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+            )[..., None]
+            vals = jnp.where(inside, vals, 0.0)
+        return vals
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    top = v00 * (1 - dx) + v01 * dx
+    bot = v10 * (1 - dx) + v11 * dx
+    return top * (1 - dy) + bot * dy
+
+
+def sample_features(fmaps: jax.Array, pts: jax.Array, padding_mode="border") -> jax.Array:
+    """Batched feature sampling: fmaps [B, H, W, C], pts [B, N, 2] -> [B, N, C].
+
+    Equivalent of the reference's ``sample_features4d`` (utils.py:942-974)
+    with align_corners=True semantics.
+    """
+    return jax.vmap(partial(bilinear_sample, padding_mode=padding_mode))(fmaps, pts)
+
+
+def resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Resize [..., H, W, C] to [..., out_h, out_w, C], align_corners=True.
+
+    Matches torch ``F.interpolate(mode="bilinear", align_corners=True)``:
+    source coordinate of output pixel i is i * (H-1) / (out-1). Separable
+    1-D interpolation expressed as two small matmuls so XLA maps it onto
+    the MXU instead of gathers.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+
+    def interp_matrix(n_in: int, n_out: int) -> jax.Array:
+        if n_out == 1:
+            src = jnp.zeros((1,), jnp.float32)
+        else:
+            src = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+        i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+        i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+        frac = src - i0.astype(jnp.float32)
+        m = jnp.zeros((n_out, n_in), jnp.float32)
+        m = m.at[jnp.arange(n_out), i0].add(1.0 - frac)
+        m = m.at[jnp.arange(n_out), i1].add(frac)
+        return m
+
+    mh = interp_matrix(h, out_h).astype(x.dtype)
+    mw = interp_matrix(w, out_w).astype(x.dtype)
+    # [..., H, W, C] -> rows: contract H; cols: contract W
+    x = jnp.einsum("oh,...hwc->...owc", mh, x)
+    x = jnp.einsum("ow,...hwc->...hoc", mw, x)
+    return x

@@ -1,0 +1,27 @@
+"""Test harness config: force CPU JAX with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual 8-device CPU mesh
+(xla_force_host_platform_device_count) so no real TPU pod is needed.
+This must run before any `import jax` in the test session.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+import numpy as np
+import pytest
+
+# Numerical tests compare against float64 references; keep matmuls exact.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
