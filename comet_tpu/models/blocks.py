@@ -1,0 +1,211 @@
+"""Neural building blocks (flax.linen), channel-last, TPU-friendly.
+
+Parity targets: comet/models/modules.py (Mlp:119, AttnBlock:248,
+CrossAttnBlock:298, ResidualBlock:39). Architectural quirks of the reference
+are preserved deliberately (they affect ported-weight parity):
+
+- AttnBlock/CrossAttnBlock write the *normalized* activations back into the
+  residual stream (modules.py:285-294 ``x = self.norm1(x); x = x + attn``),
+  unlike standard pre-norm transformers.
+- torch ``nn.GELU()`` is the exact (erf) GELU; flax defaults to tanh
+  approximation, so we pass approximate=False everywhere.
+- torch ``nn.MultiheadAttention`` packs qkv; we keep separate q/k/v Dense
+  modules and the weight converter splits the packed tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def exact_gelu(x):
+    return nn.gelu(x, approximate=False)
+
+
+class Mlp(nn.Module):
+    """Two-layer MLP with exact GELU (modules.py:119-154)."""
+
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        hidden = self.hidden_features or in_features
+        out = self.out_features or in_features
+        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = exact_gelu(x)
+        x = nn.Dense(out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention matching torch nn.MultiheadAttention semantics.
+
+    Separate q/k/v projections (converter splits torch's packed in_proj).
+    Logits accumulate in float32 regardless of compute dtype.
+    """
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None):
+        e = q.shape[-1]
+        assert e % self.num_heads == 0
+        head_dim = e // self.num_heads
+
+        wq = nn.Dense(e, dtype=self.dtype, name="q_proj")(q)
+        wk = nn.Dense(e, dtype=self.dtype, name="k_proj")(k)
+        wv = nn.Dense(e, dtype=self.dtype, name="v_proj")(v)
+
+        def split(x):
+            return x.reshape(*x.shape[:-1], self.num_heads, head_dim)
+
+        wq, wk, wv = split(wq), split(wk), split(wv)
+        scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
+        logits = jnp.einsum(
+            "...qhd,...khd->...hqk", wq * scale, wk,
+            preferred_element_type=jnp.float32,
+        )
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("...hqk,...khd->...qhd", weights, wv)
+        out = out.reshape(*out.shape[:-2], e)
+        return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
+
+
+class AttnBlock(nn.Module):
+    """Self-attention block (modules.py:248-295). NOTE: the residual stream
+    is re-based on the normalized input, exactly like the reference."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        e = x.shape[-1]
+        x = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm1",
+        )(x)
+        x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(
+            x, x, x, mask=mask
+        )
+        y = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm2",
+        )(x)
+        x = x + Mlp(
+            hidden_features=int(e * self.mlp_ratio), dtype=self.dtype, name="mlp"
+        )(y)
+        return x
+
+
+class CrossAttnBlock(nn.Module):
+    """Cross-attention block (modules.py:298-344)."""
+
+    num_heads: int = 1
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, mask=None):
+        e = x.shape[-1]
+        x = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm1",
+        )(x)
+        context = nn.LayerNorm(dtype=self.dtype, name="norm_context")(context)
+        x = x + MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, name="cross_attn"
+        )(x, context, context, mask=mask)
+        y = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="norm2",
+        )(x)
+        x = x + Mlp(
+            hidden_features=int(e * self.mlp_ratio), dtype=self.dtype, name="mlp"
+        )(y)
+        return x
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d equivalent for [..., H, W, C]: per-channel, per-sample
+    normalization over spatial dims, no affine (torch default)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = x.mean(axis=(-3, -2), keepdims=True)
+        var = x.var(axis=(-3, -2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with affine (torch default), channel-last."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon, dtype=self.dtype
+        )(x)
+
+
+class ResidualBlock(nn.Module):
+    """Two 3x3 convs with residual connection (modules.py:39-116).
+
+    norm_fn: "instance" | "group" | "none". Downsample path (1x1 conv +
+    norm3) when stride != 1.
+    """
+
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    def _norm(self, name):
+        if self.norm_fn == "instance":
+            return InstanceNorm(name=name)
+        if self.norm_fn == "group":
+            return nn.GroupNorm(num_groups=self.planes // 8, name=name)
+        if self.norm_fn == "none":
+            return lambda x: x
+        raise NotImplementedError(self.norm_fn)
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (
+            (self.kernel_size // 2, self.kernel_size // 2),
+            (self.kernel_size // 2, self.kernel_size // 2),
+        )
+        y = nn.Conv(
+            self.planes, (self.kernel_size, self.kernel_size),
+            strides=self.stride, padding=pad, dtype=self.dtype, name="conv1",
+        )(x)
+        y = nn.relu(self._norm("norm1")(y))
+        y = nn.Conv(
+            self.planes, (self.kernel_size, self.kernel_size),
+            padding=pad, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.relu(self._norm("norm2")(y))
+        if self.stride != 1:
+            x = nn.Conv(
+                self.planes, (1, 1), strides=self.stride, dtype=self.dtype,
+                name="downsample",
+            )(x)
+            x = self._norm("norm3")(x)
+        return nn.relu(x + y)

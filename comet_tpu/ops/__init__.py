@@ -1,0 +1,11 @@
+from .bilinear import (
+    bilinear_sample,
+    sample_features,
+    resize_bilinear_align_corners,
+)
+from .corr import (
+    avg_pool_2x2,
+    build_fmap_pyramid,
+    corr_pyramid_sample,
+    extract_patches,
+)

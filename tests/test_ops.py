@@ -1,0 +1,147 @@
+"""Tests for bilinear sampling, align-corners resize, correlation, patches.
+
+Validated against torch (CPU) equivalents — F.grid_sample / F.interpolate /
+unfold-style indexing — since those define the reference semantics."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from comet_tpu.ops import (
+    bilinear_sample,
+    sample_features,
+    resize_bilinear_align_corners,
+    avg_pool_2x2,
+    build_fmap_pyramid,
+    corr_pyramid_sample,
+    extract_patches,
+)
+
+
+def torch_bilinear_sampler(inp, coords, padding_mode="border"):
+    """The reference bilinear_sampler (utils.py:874-939), align_corners=True."""
+    sizes = inp.shape[2:]
+    scale = torch.tensor([2 / max(s - 1, 1) for s in reversed(sizes)])
+    coords = coords * scale - 1
+    return F.grid_sample(inp, coords, align_corners=True, padding_mode=padding_mode)
+
+
+class TestBilinear:
+    def test_matches_grid_sample_border(self, rng):
+        fmap = rng.normal(size=(5, 7, 3)).astype(np.float32)
+        pts = (rng.random(size=(11, 2)) * np.array([8.0, 6.0]) - 1.0).astype(np.float32)
+        ours = np.asarray(bilinear_sample(jnp.asarray(fmap), jnp.asarray(pts)))
+        t_in = torch.from_numpy(fmap).permute(2, 0, 1)[None]  # [1,C,H,W]
+        t_pts = torch.from_numpy(pts)[None, :, None, :]  # [1,N,1,2]
+        theirs = torch_bilinear_sampler(t_in, t_pts)[0, :, :, 0].T.numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_matches_grid_sample_zeros(self, rng):
+        fmap = rng.normal(size=(5, 5, 2)).astype(np.float32)
+        pts = np.array([[-0.5, 0.0], [4.5, 4.5], [2.0, 2.0]], np.float32)
+        ours = np.asarray(
+            bilinear_sample(jnp.asarray(fmap), jnp.asarray(pts), padding_mode="zeros")
+        )
+        t_in = torch.from_numpy(fmap).permute(2, 0, 1)[None]
+        t_pts = torch.from_numpy(pts)[None, :, None, :]
+        theirs = torch_bilinear_sampler(t_in, t_pts, "zeros")[0, :, :, 0].T.numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_sample_features_batched(self, rng):
+        fmaps = rng.normal(size=(2, 6, 6, 4)).astype(np.float32)
+        pts = (rng.random(size=(2, 5, 2)) * 5).astype(np.float32)
+        out = np.asarray(sample_features(jnp.asarray(fmaps), jnp.asarray(pts)))
+        assert out.shape == (2, 5, 4)
+
+    def test_resize_align_corners(self, rng):
+        x = rng.normal(size=(2, 9, 13, 3)).astype(np.float32)
+        ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 5, 7))
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        theirs = (
+            F.interpolate(t, (5, 7), mode="bilinear", align_corners=True)
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_resize_upscale(self, rng):
+        x = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+        ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 8, 8))
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        theirs = (
+            F.interpolate(t, (8, 8), mode="bilinear", align_corners=True)
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+class TestCorr:
+    def test_avg_pool(self, rng):
+        x = rng.normal(size=(1, 2, 8, 8, 3)).astype(np.float32)
+        ours = np.asarray(avg_pool_2x2(jnp.asarray(x)))
+        t = torch.from_numpy(x).reshape(2, 8, 8, 3).permute(0, 3, 1, 2)
+        theirs = F.avg_pool2d(t, 2, 2).permute(0, 2, 3, 1).numpy().reshape(1, 2, 4, 4, 3)
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    def test_corr_sample_matches_corr_then_sample(self, rng):
+        """Fused gather-then-dot == reference's corr-volume-then-bilinear."""
+        b, s, n, c, h, w = 1, 2, 3, 8, 16, 16
+        radius, levels = 2, 3
+        fmaps = rng.normal(size=(b, s, h, w, c)).astype(np.float32)
+        coords = (rng.random(size=(b, s, n, 2)) * 12 + 1).astype(np.float32)
+        tfeat = rng.normal(size=(b, s, n, c)).astype(np.float32)
+
+        pyr = build_fmap_pyramid(jnp.asarray(fmaps), levels)
+        ours = np.asarray(
+            corr_pyramid_sample(pyr, jnp.asarray(coords), jnp.asarray(tfeat), radius)
+        )
+        assert ours.shape == (b, s, n, levels * (2 * radius + 1) ** 2)
+
+        # reference path in torch: corr volume then bilinear sample
+        t_f = torch.from_numpy(fmaps).permute(0, 1, 4, 2, 3)  # B,S,C,H,W
+        t_c = torch.from_numpy(coords)
+        t_t = torch.from_numpy(tfeat)
+        pyramid = [t_f]
+        for _ in range(levels - 1):
+            bb, ss, cc, hh, ww2 = pyramid[-1].shape
+            pooled = F.avg_pool2d(pyramid[-1].reshape(bb * ss, cc, hh, ww2), 2, 2)
+            pyramid.append(pooled.reshape(bb, ss, cc, *pooled.shape[-2:]))
+        outs = []
+        r = radius
+        for i, fm in enumerate(pyramid):
+            _, _, cc, hh, ww2 = fm.shape
+            fmap2 = fm.reshape(b, s, cc, hh * ww2)
+            corrs = torch.matmul(t_t, fmap2) / np.sqrt(cc)
+            corrs = corrs.reshape(b, s, n, hh, ww2)
+            dx = torch.linspace(-r, r, 2 * r + 1)
+            dy = torch.linspace(-r, r, 2 * r + 1)
+            delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), dim=-1)
+            centroid = t_c.reshape(b * s * n, 1, 1, 2) / 2**i
+            pts = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+            sampled = torch_bilinear_sampler(
+                corrs.reshape(b * s * n, 1, hh, ww2), pts
+            )
+            outs.append(sampled.view(b, s, n, -1))
+        theirs = torch.cat(outs, dim=-1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+class TestPatches:
+    def test_extract_patches_matches_slicing(self, rng):
+        b, h, w, c, n, p = 2, 20, 20, 3, 4, 5
+        imgs = rng.normal(size=(b, h, w, c)).astype(np.float32)
+        tl = rng.integers(0, h - p, size=(b, n, 2)).astype(np.int32)
+        out = np.asarray(
+            extract_patches(jnp.asarray(imgs), jnp.asarray(tl), p)
+        )
+        assert out.shape == (b, n, p, p, c)
+        for bi in range(b):
+            for ni in range(n):
+                x0, y0 = tl[bi, ni]
+                np.testing.assert_array_equal(
+                    out[bi, ni], imgs[bi, y0 : y0 + p, x0 : x0 + p]
+                )
