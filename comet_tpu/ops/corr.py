@@ -40,12 +40,18 @@ def build_fmap_pyramid(fmaps: jax.Array, num_levels: int) -> List[jax.Array]:
 
 
 def _window_offsets(radius: int, dtype=jnp.float32) -> jax.Array:
-    """[(2r+1)², 2] (x, y) offsets in row-major (dy, dx) scan order —
-    matching the reference's meshgrid(dy, dx, indexing="ij") flattening."""
+    """[(2r+1)², 2] (x, y) offsets, x varying in the OUTER loop.
+
+    The reference builds delta = stack(meshgrid(dy, dx, indexing="ij"), -1)
+    and adds it to (x, y) coords (blocks.py:387-395), so the x offset comes
+    from the first meshgrid output (outer axis). The window content is the
+    same either way, but the flattened channel order feeds the transformer
+    and must match for ported-weight parity.
+    """
     r = radius
     lin = jnp.arange(-r, r + 1, dtype=dtype)
-    dy, dx = jnp.meshgrid(lin, lin, indexing="ij")
-    return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)
+    outer, inner = jnp.meshgrid(lin, lin, indexing="ij")
+    return jnp.stack([outer.reshape(-1), inner.reshape(-1)], axis=-1)
 
 
 def corr_pyramid_sample(
