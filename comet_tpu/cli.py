@@ -1,0 +1,253 @@
+"""Command-line interface: ``python -m comet_tpu.cli <train|eval|demo|bench>``.
+
+Replaces the reference's four entry scripts (abl_ours.py, abl_test.py,
+test_e2epose2.py, train_e2epose2.py — which must be run from comet/models/
+with a hand-tuned PYTHONPATH and contain a dead training loop) with one CLI:
+
+  eval  --preset ours --data-root datasets/AMD/AMD_eval --output-dir out
+  train --preset ours --data-root datasets/AMD --epochs 300
+  demo  --preset ours --data-root datasets/DCA_SpaceNet/model1/testing
+  bench --preset ours
+
+Writes test_results.csv rows compatible with the reference's CsvLogger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _common(parser):
+    parser.add_argument("--preset", default="ours", help="ours|abl_all|abl_track|abl_time|abl_uvz")
+    parser.add_argument("--data-root", default=None)
+    parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--seqlen", type=int, default=None)
+    parser.add_argument("--img-size", type=int, default=None)
+    parser.add_argument("--track-num", type=int, default=None)
+    parser.add_argument("--dataset", default=None, help="intrinsics key override")
+    parser.add_argument("--checkpoint", default=None, help="orbax checkpoint dir or converted .msgpack")
+    parser.add_argument("--keypoints", default="corners", help="corners|grid|superpoint")
+    parser.add_argument("--max-sequences", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--f32", action="store_true", help="disable bf16 compute")
+
+
+def _build(args):
+    import jax
+
+    from .config import get_config
+
+    cfg = get_config(args.preset)
+    overrides = {}
+    if args.seqlen:
+        overrides["seqlen"] = args.seqlen
+    if args.img_size:
+        overrides["img_size"] = args.img_size
+    if args.track_num:
+        overrides["track_num"] = args.track_num
+    if args.dataset:
+        overrides["dataset"] = args.dataset
+    if args.data_root:
+        overrides["data_root"] = args.data_root
+    if args.f32:
+        overrides["compute_dtype"] = "float32"
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def _init_model(cfg, seed=0, checkpoint=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .models import COMET
+
+    model = COMET(cfg)
+    dummy_imgs = jnp.zeros((1, cfg.seqlen, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    dummy_q = jnp.full((1, cfg.track_num, 2), cfg.img_size / 2.0, jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), dummy_imgs, dummy_q)
+    if checkpoint:
+        from .training.checkpoints import restore_checkpoint
+        from .utils.serialization import load_params_msgpack
+
+        if checkpoint.endswith(".msgpack"):
+            params = load_params_msgpack(checkpoint, params)
+        else:
+            params = restore_checkpoint(checkpoint, params)
+    return model, params
+
+
+def cmd_eval(args):
+    from .data import AMDDataset
+    from .training import CsvLogger, evaluate
+
+    cfg = _build(args)
+    model, params = _init_model(cfg, args.seed, args.checkpoint)
+    dataset = AMDDataset(
+        cfg.data_root, crop_size=cfg.img_size, seq_len=cfg.seqlen, use_augs=False
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = CsvLogger(os.path.join(args.output_dir, "test_results.csv"))
+    t0 = time.time()
+    metrics = evaluate(
+        model, params, dataset, cfg,
+        keypoint_backend=args.keypoints, max_sequences=args.max_sequences,
+    )
+    metrics["lr"] = 0.0
+    logger.log(0, metrics)
+    elapsed = time.time() - t0
+    n = min(len(dataset), args.max_sequences or len(dataset))
+    print(json.dumps({k: round(v, 5) for k, v in sorted(metrics.items()) if not k.startswith("Auc_scene")}, indent=2))
+    print(f"sequences/sec: {n / elapsed:.3f}")
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .data import AMDDataset, seed_query_points
+    from .training import (
+        CsvLogger,
+        RunningStats,
+        TrainingMonitor,
+        build_optimizer,
+        build_train_step,
+        evaluate,
+        make_gt_cameras,
+        metric_block,
+        save_checkpoint,
+        auto_resume,
+    )
+
+    cfg = _build(args)
+    model, params = _init_model(cfg, args.seed, args.checkpoint)
+
+    import numpy as np
+
+    train_ds = AMDDataset(
+        os.path.join(cfg.data_root, "AMD_train"), crop_size=cfg.img_size,
+        seq_len=cfg.seqlen, use_augs=True, seed=cfg.train.seed,
+    )
+    eval_ds = AMDDataset(
+        os.path.join(cfg.data_root, "AMD_eval"), crop_size=cfg.img_size,
+        seq_len=cfg.seqlen, use_augs=False,
+    )
+    steps_per_epoch = len(train_ds)
+    tx, schedule = build_optimizer(
+        params, cfg.train.lr, steps_per_epoch, cfg.train.restart_num,
+        cfg.train.warmup_ratio, cfg.train.warmup_lr_init, cfg.train.clip_grad,
+    )
+    opt_state = tx.init(params)
+    train_step = build_train_step(model, cfg, tx)
+
+    ckpt_dir = os.path.join(args.output_dir, "ckpt")
+    start_epoch, (params, opt_state) = 0, (params, opt_state)
+    resume_epoch, restored = auto_resume(ckpt_dir, {"params": params, "opt": opt_state})
+    if resume_epoch > 0:
+        start_epoch = resume_epoch
+        params, opt_state = restored["params"], restored["opt"]
+        print(f"resumed from epoch {start_epoch}")
+
+    logger = CsvLogger(os.path.join(args.output_dir, "train_results.csv"))
+    monitor = TrainingMonitor(os.path.join(args.output_dir, "anomaly_checkpoints"))
+    rng = np.random.default_rng(cfg.train.seed)
+    global_step = start_epoch * steps_per_epoch
+
+    for epoch in range(start_epoch, cfg.train.epochs):
+        stats = RunningStats()
+        order = rng.permutation(len(train_ds))
+        for i, idx in enumerate(order):
+            sample = train_ds[int(idx)]
+            queries = seed_query_points(
+                sample.images[0], sample.first_mask, cfg.track_num,
+                cfg.min_track_num, backend=args.keypoints, rng=rng,
+            )
+            gt_cams = make_gt_cameras(sample)
+            params, opt_state, aux = train_step(
+                params, opt_state,
+                jnp.asarray(sample.images)[None], jnp.asarray(queries)[None],
+                gt_cams,
+            )
+            loss = float(aux["loss"])
+            monitor.check(loss, global_step, {"seq": sample.seq_name})
+            metrics = metric_block(aux, gt_cams, "")
+            metrics["lr"] = float(schedule(global_step))
+            stats.update(metrics)
+            global_step += 1
+            if i % cfg.train.print_interval == 0:
+                print(stats.status_string(i, steps_per_epoch, "train"))
+
+        logger.log(epoch, stats.averages())
+        if (epoch + 1) % cfg.train.ckpt_interval == 0:
+            save_checkpoint(ckpt_dir, epoch, {"params": params, "opt": opt_state})
+        if (epoch + 1) % cfg.train.eval_interval == 0:
+            eval_metrics = evaluate(
+                model, params, eval_ds, cfg, keypoint_backend=args.keypoints,
+                max_sequences=args.max_sequences,
+            )
+            print("eval:", {k: round(v, 4) for k, v in eval_metrics.items() if not k.startswith("Auc_scene")})
+
+
+def cmd_demo(args):
+    """DCA_SpaceNet demo: JSON trajectory/metric export per sequence
+    (parity with test_e2epose2.py + train_eval_func_new_cp5.py:679-767)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data import DCADataset, seed_query_points
+    from .training import build_eval_step, make_gt_cameras, metric_block
+    from .utils.export import export_sequence_json
+
+    cfg = _build(args).replace(dataset="AMD_test")
+    model, params = _init_model(cfg, args.seed, args.checkpoint)
+    dataset = DCADataset(
+        cfg.data_root, crop_size=cfg.img_size, seq_len=cfg.seqlen, use_augs=False
+    )
+    eval_step = build_eval_step(model, cfg)
+    rng = np.random.default_rng(cfg.train.seed)
+    n = min(len(dataset), args.max_sequences or len(dataset))
+    for i in range(n):
+        sample = dataset[i]
+        queries = seed_query_points(
+            sample.images[0], sample.first_mask, cfg.track_num,
+            cfg.min_track_num, backend=args.keypoints, rng=rng,
+        )
+        gt_cams = make_gt_cameras(sample)
+        out = eval_step(
+            params, jnp.asarray(sample.images)[None], jnp.asarray(queries)[None],
+            gt_cams,
+        )
+        metrics = metric_block(out, gt_cams, sample.seq_name)
+        json_path = export_sequence_json(
+            args.output_dir, sample.seq_name, out, gt_cams, metrics
+        )
+        print(f"saved {json_path}  R_avg={metrics['R_avg']:.3f}")
+
+
+def cmd_bench(args):
+    from .bench_lib import run_benchmark
+
+    cfg = _build(args)
+    result = run_benchmark(cfg, warmup=3, reps=10)
+    print(json.dumps(result))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("comet_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name, fn in [("eval", cmd_eval), ("train", cmd_train), ("demo", cmd_demo), ("bench", cmd_bench)]:
+        p = sub.add_parser(name)
+        _common(p)
+        if name == "train":
+            p.add_argument("--epochs", type=int, default=None)
+        p.set_defaults(fn=fn)
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Video-sequence datasets (AMD / DCA_SpaceNet directory layouts).
+
+Parity targets: comet/models/kubric_movif_SFM_dataset_YT.py (AMD:
+modelX/seq_Y/{frames,GroundTruth,Mask}) and ..._DCA.py (DCA_SpaceNet:
+seq_X/000000/{frame,GroundTruth,Mask}). Host-side numpy/PIL preprocessing
+identical to the reference: sequence-level mask bbox + 15% margin -> square
+crop -> LANCZOS resize -> ImageNet normalization; the (u, v) image-plane
+projection of T computed with the per-dataset intrinsics; max-gap temporal
+sampling for training, deterministic even sampling for eval.
+
+Outputs are numpy arrays in channel-LAST layout ([S, H, W, 3]) ready for
+device upload. An index-based design keeps the loader deterministic and
+shardable across data-parallel hosts.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..geometry.codecs import INTRINSICS_TABLE
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def matrix_to_quat_wxyz(r: np.ndarray) -> np.ndarray:
+    """3x3 rotation matrix -> wxyz quaternion (scipy scalar_first parity)."""
+    from scipy.spatial.transform import Rotation as R
+
+    return R.from_matrix(r).as_quat(scalar_first=True)
+
+
+def sample_with_max_gap(
+    total_frames: int, seq_len: int, rng: Optional[np.random.Generator] = None,
+    max_gap: int = 8,
+) -> List[int]:
+    """Arithmetic subsampling with random stride <= max_gap
+    (kubric_movif_SFM_dataset_YT.py:64-99)."""
+    if total_frames < seq_len:
+        return np.linspace(0, total_frames - 1, seq_len).astype(int).tolist()
+    rng = rng or np.random.default_rng()
+    max_step = max(1, min(max_gap, (total_frames - 1) // (seq_len - 1)))
+    step = int(rng.integers(1, max_step + 1))
+    max_start = total_frames - (seq_len - 1) * step
+    start = int(rng.integers(0, max_start))
+    return [start + i * step for i in range(seq_len)]
+
+
+def sample_evenly(total_frames: int, seq_len: int) -> List[int]:
+    """Deterministic fallback used when augmentation is off."""
+    if total_frames < seq_len:
+        return np.linspace(0, total_frames - 1, seq_len).astype(int).tolist()
+    max_step = max(1, min(8, (total_frames - 1) // (seq_len - 1)))
+    return [i * max_step for i in range(seq_len)]
+
+
+def make_bbox_square(bbox: np.ndarray, target_size: float) -> np.ndarray:
+    """Expand bbox to a square of target_size around its center."""
+    cx = (bbox[0] + bbox[2]) / 2.0
+    cy = (bbox[1] + bbox[3]) / 2.0
+    half = target_size / 2.0
+    return np.array([cx - half, cy - half, cx + half, cy + half])
+
+
+def mask_bbox(mask: np.ndarray) -> List[float]:
+    """Tight bbox (xmin, ymin, xmax, ymax) of nonzero mask pixels."""
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        h, w = mask.shape[:2]
+        return [0.0, 0.0, float(w), float(h)]
+    return [float(xs.min()), float(ys.min()), float(xs.max() + 1), float(ys.max() + 1)]
+
+
+@dataclass
+class SequenceSample:
+    """One loaded sequence — mirrors the reference dataset's dict output
+    (kubric_movif_SFM_dataset_YT.py:265-266)."""
+
+    images: np.ndarray  # [S, H, W, 3] float32, ImageNet-normalized
+    t_xyz: np.ndarray  # [S, 3]
+    q_wxyz: np.ndarray  # [S, 4]
+    t_uvz: np.ndarray  # [S, 3]
+    r_matrix: np.ndarray  # [S, 3, 3]
+    ratio: float
+    seq_name: str
+    image_names: List[str]
+    first_mask: np.ndarray  # [H, W] bool
+
+
+class VideoPoseDataset:
+    """Base dataset over sequence directories with pose ground truth."""
+
+    def __init__(
+        self,
+        data_root: str,
+        crop_size: int = 512,
+        seq_len: int = 16,
+        use_augs: bool = False,
+        intrinsics_key: str = "AMD",
+        seed: int = 0,
+    ):
+        if not os.path.isdir(data_root):
+            raise ValueError(f"Data root path does not exist: {data_root}")
+        self.data_root = data_root
+        self.crop_size = crop_size
+        self.seq_len = seq_len
+        self.use_augs = use_augs
+        self.intr = INTRINSICS_TABLE[intrinsics_key]
+        self.rng = np.random.default_rng(seed)
+        self.seq_names = self._list_sequences()
+
+    # --- layout hooks (overridden by the DCA variant) ---------------------
+    def _list_sequences(self) -> List[str]:
+        """AMD layout: modelX/seq_Y (kubric_..._YT.py:130-158)."""
+        seqs = []
+        models = [
+            d for d in os.listdir(self.data_root)
+            if d.startswith("model") and os.path.isdir(os.path.join(self.data_root, d))
+        ]
+        models.sort(key=lambda x: int(x[5:]))
+        for model in models:
+            inner = [
+                s for s in os.listdir(os.path.join(self.data_root, model))
+                if s.startswith("seq_")
+            ]
+            inner.sort(key=lambda x: int(x[4:]))
+            seqs.extend(os.path.join(model, s) for s in inner)
+        return seqs
+
+    def _frame_dirs(self, seq_name: str):
+        base = os.path.join(self.data_root, seq_name)
+        return (
+            os.path.join(base, "frames"),
+            os.path.join(base, "GroundTruth"),
+            os.path.join(base, "Mask"),
+        )
+
+    def _frame_prefixes(self):
+        return "frame_", "obj_w2c_", "mask_"
+
+    # ----------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.seq_names)
+
+    def __getitem__(self, index: int) -> SequenceSample:
+        return self.load_sequence(self.seq_names[index])
+
+    def load_sequence(self, seq_name: str) -> SequenceSample:
+        frames_dir, gts_dir, masks_dir = self._frame_dirs(seq_name)
+        fpre, gpre, mpre = self._frame_prefixes()
+        image_names = sorted(f for f in os.listdir(frames_dir) if f.startswith(fpre))
+        gt_names = sorted(f for f in os.listdir(gts_dir) if f.startswith(gpre))
+        mask_names = sorted(f for f in os.listdir(masks_dir) if f.startswith(mpre))
+
+        total = len(image_names)
+        if self.use_augs:
+            sel = sample_with_max_gap(total, self.seq_len, self.rng)
+        else:
+            sel = sample_evenly(total, self.seq_len)
+
+        imgs, masks, bboxes = [], [], []
+        t_list, q_list, uvz_list, r_list, names = [], [], [], [], []
+        for ind in sel:
+            img = Image.open(os.path.join(frames_dir, image_names[ind])).convert("RGB")
+            mask = np.array(
+                Image.open(os.path.join(masks_dir, mask_names[ind])).convert("L"),
+                np.uint8,
+            )
+            pose = np.loadtxt(os.path.join(gts_dir, gt_names[ind]))
+            if pose.shape != (4, 4):
+                raise ValueError(f"{gt_names[ind]} is not a 4x4 pose matrix")
+            r_mat = pose[:3, :3]
+            t_vec = pose[:3, 3]
+            if abs(t_vec[2]) < 1e-6:
+                raise ZeroDivisionError(f"Tz ~ 0 in {gt_names[ind]}")
+            u = (self.intr.fx * t_vec[0] + self.intr.cx * t_vec[2]) / t_vec[2]
+            v = (self.intr.fy * t_vec[1] + self.intr.cy * t_vec[2]) / t_vec[2]
+
+            imgs.append(img)
+            masks.append(mask)
+            bboxes.append(mask_bbox(mask))
+            t_list.append(t_vec)
+            q_list.append(matrix_to_quat_wxyz(r_mat))
+            uvz_list.append([u, v, t_vec[2]])
+            r_list.append(r_mat)
+            names.append(image_names[ind])
+
+        # sequence-level union bbox + 15% margin -> square crop
+        bb = np.array(bboxes)
+        union = np.array([bb[:, 0].min(), bb[:, 1].min(), bb[:, 2].max(), bb[:, 3].max()])
+        bbox_size = max(union[2] - union[0], union[3] - union[1])
+        size_with_margin = bbox_size * 1.3
+        margin = bbox_size * 0.15
+        union = union + np.array([-margin, -margin, margin, margin])
+        square = make_bbox_square(union, size_with_margin)
+        ratio = self.crop_size / size_with_margin
+
+        rgb = []
+        for img in imgs:
+            cropped = img.crop(tuple(square))
+            rgb.append(
+                np.asarray(
+                    cropped.resize(
+                        (self.crop_size, self.crop_size), Image.Resampling.LANCZOS
+                    ),
+                    np.float32,
+                )
+            )
+        video = np.stack(rgb) / 255.0
+        video = (video - _IMAGENET_MEAN) / _IMAGENET_STD
+
+        mask_pil = Image.fromarray(masks[0]).crop(tuple(square))
+        first_mask = (
+            np.asarray(
+                mask_pil.resize(
+                    (self.crop_size, self.crop_size), Image.Resampling.NEAREST
+                ),
+                np.uint8,
+            )
+            > 0
+        )
+
+        return SequenceSample(
+            images=video.astype(np.float32),
+            t_xyz=np.asarray(t_list, np.float32),
+            q_wxyz=np.asarray(q_list, np.float32),
+            t_uvz=np.asarray(uvz_list, np.float32),
+            r_matrix=np.asarray(r_list, np.float32),
+            ratio=float(ratio),
+            seq_name=seq_name,
+            image_names=names,
+            first_mask=first_mask,
+        )
+
+
+class AMDDataset(VideoPoseDataset):
+    """AMD layout (kubric_movif_SFM_dataset_YT.py:101)."""
+
+    def __init__(self, data_root, crop_size=512, seq_len=16, use_augs=False, seed=0):
+        super().__init__(
+            data_root, crop_size, seq_len, use_augs, intrinsics_key="AMD", seed=seed
+        )
+
+
+class DCADataset(VideoPoseDataset):
+    """DCA_SpaceNet layout: seq_X/000000/{frame,GroundTruth,Mask}
+    (kubric_movif_SFM_dataset_DCA.py:102-237)."""
+
+    def __init__(
+        self, data_root, crop_size=512, seq_len=16, use_augs=False, seed=0,
+        exclude: Sequence[str] = (),
+    ):
+        self._exclude = set(exclude)
+        super().__init__(
+            data_root, crop_size, seq_len, use_augs,
+            intrinsics_key="AMD_test", seed=seed,
+        )
+
+    def _list_sequences(self) -> List[str]:
+        seqs = sorted(
+            d for d in os.listdir(self.data_root)
+            if os.path.isdir(os.path.join(self.data_root, d)) and d not in self._exclude
+        )
+        return seqs
+
+    def _frame_dirs(self, seq_name: str):
+        base = os.path.join(self.data_root, seq_name, "000000")
+        return (
+            os.path.join(base, "frame"),
+            os.path.join(base, "GroundTruth"),
+            os.path.join(base, "Mask"),
+        )

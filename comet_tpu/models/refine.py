@@ -1,0 +1,122 @@
+"""Fine track refinement on 31x31 patches + matching-score computation.
+
+Parity target: comet/models/refine_track.py:26-278 (refine_track,
+compute_score_fn). The reference's unfold-then-fancy-index becomes a batched
+static-shape gather (ops.extract_patches); the kornia dsnt spatial
+expectation becomes a plain softmax-moment computation.
+
+Reference quirks preserved on purpose:
+- patch top-left is clamped for extraction but the UNCLAMPED top-left is
+  added back when mapping to image coords (refine_track.py:87-93, 148);
+- clamping assumes H == W;
+- frame-0 track is reset to the query points at the end (:153);
+- frame-0 score is 1 (:276).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import extract_patches
+
+
+def refine_track(
+    images: jax.Array,  # [B, S, H, W, 3]
+    fine_fnet,  # callable: [M, P, P, 3] -> [M, P, P, C]
+    fine_tracker,  # callable: (query [B', N', 2], fmaps [B', S, P, P, C], iters) -> TrackerOutput
+    coarse_pred: jax.Array,  # [B, S, N, 2]
+    pradius: int = 15,
+    sradius: int = 2,
+    compute_score: bool = True,
+    iters: int = 6,
+) -> Tuple[jax.Array, jax.Array]:
+    b, s, n, _ = coarse_pred.shape
+    h, w = images.shape[2], images.shape[3]
+    psize = 2 * pradius + 1
+
+    query_points = coarse_pred[:, 0]  # [B, N, 2]
+
+    track_int = jnp.floor(coarse_pred).astype(jnp.int32)
+    track_frac = coarse_pred - track_int
+    topleft_unclamped = track_int - pradius  # [B, S, N, 2]
+    topleft = jnp.clip(topleft_unclamped, 0, h - psize)
+
+    patches = extract_patches(
+        images.reshape(b * s, h, w, images.shape[-1]),
+        topleft.reshape(b * s, n, 2),
+        psize,
+    )  # [B*S, N, P, P, 3]
+    patch_feat = fine_fnet(patches.reshape(b * s * n, psize, psize, -1))
+    c_out = patch_feat.shape[-1]
+
+    # (B*S*N, P, P, C) -> (B*N, S, P, P, C)
+    patch_feat = patch_feat.reshape(b, s, n, psize, psize, c_out)
+    patch_feat_bn = patch_feat.transpose(0, 2, 1, 3, 4, 5).reshape(
+        b * n, s, psize, psize, c_out
+    )
+
+    # queries relative to the patch top-left (frac offset + pradius)
+    patch_query = (track_frac[:, 0] + pradius).reshape(b * n, 1, 2)
+
+    out = fine_tracker(patch_query, patch_feat_bn, iters=iters)
+    # [iters, B*N, S, 1, 2] -> final iteration, relative to patch top-left
+    fine_rel = out.coord_preds[-1][..., 0, :]  # [B*N, S, 2]
+    fine_rel_bsn = fine_rel.reshape(b, n, s, 2).transpose(0, 2, 1, 3)
+
+    refined = fine_rel_bsn + topleft_unclamped.astype(fine_rel_bsn.dtype)
+    refined = refined.at[:, 0].set(query_points)
+
+    score = None
+    if compute_score:
+        score = compute_score_fn(
+            out.query_feats.reshape(b, n, c_out),
+            patch_feat,
+            out.coord_preds[-1][..., 0, :].reshape(b, n, s, 2).transpose(0, 2, 1, 3),
+            sradius,
+            psize,
+        )
+    return refined, score
+
+
+def compute_score_fn(
+    query_feat: jax.Array,  # [B, N, C]
+    patch_feat: jax.Array,  # [B, S, N, P, P, C]
+    fine_pred: jax.Array,  # [B, S, N, 2] relative to patch top-left
+    sradius: int,
+    psize: int,
+) -> jax.Array:
+    """Std of the 5x5 similarity heatmap around each fine prediction
+    (refine_track.py:174-278). Returns [B, S, N]; frame 0 gets score 1."""
+    b, s, n, _, _, c = patch_feat.shape
+    ssize = 2 * sradius + 1
+
+    floor = jnp.floor(fine_pred).astype(jnp.int32)
+    topleft = jnp.clip(floor - sradius, 0, psize - ssize)  # [B, S, N, 2]
+
+    windows = extract_patches(
+        patch_feat.reshape(b * s * n, psize, psize, c),
+        topleft.reshape(b * s * n, 1, 2),
+        ssize,
+    ).reshape(b, s, n, ssize * ssize, c)
+
+    q = query_feat[:, None]  # [B, 1, N, C]
+    sim = jnp.einsum(
+        "bsnkc,bsnc->bsnk", windows, jnp.broadcast_to(q, (b, s, n, c)),
+        preferred_element_type=jnp.float32,
+    )
+    heat = jax.nn.softmax(sim / jnp.sqrt(jnp.asarray(c, sim.dtype)), axis=-1)
+
+    # normalized grid in [-1, 1] (kornia create_meshgrid convention)
+    lin = jnp.linspace(-1.0, 1.0, ssize)
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+    grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [K, 2]
+
+    mean = jnp.einsum("bsnk,kd->bsnd", heat, grid)
+    second = jnp.einsum("bsnk,kd->bsnd", heat, grid**2)
+    var = second - mean**2
+    std = jnp.sqrt(jnp.clip(var, 1e-10, None)).sum(axis=-1)  # [B, S, N]
+
+    return jnp.concatenate([jnp.ones_like(std[:, :1]), std[:, 1:]], axis=1)

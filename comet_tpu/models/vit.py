@@ -1,0 +1,141 @@
+"""DINOv2-style ViT backbone (flax.linen), used frozen as the image encoder.
+
+Architecture parity with the torch.hub ``dinov2_vitb14_reg`` model the
+reference loads (comet/models/camera_predictor10.py:607-612): patch size 14,
+embed dim 768, 12 blocks, 12 heads, MLP ratio 4, 1 cls token + 4 register
+tokens, LayerScale on both branches, final LayerNorm; we return the
+normalized patch tokens (``x_norm_patchtokens``).
+
+The position embedding is stored pre-interpolated for the configured input
+resolution (default 336 -> 24x24 grid). The torch->flax weight converter
+(tools/convert_torch_weights.py) resamples DINOv2's 37x37 grid with torch's
+own bicubic interpolation before export, so no on-the-fly interpolation is
+needed (and parity doesn't hinge on matching torch's bicubic kernel).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ViTAttention(nn.Module):
+    """Standard ViT attention with fused qkv (DINOv2 layout)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class ViTBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = ViTAttention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        x = x + LayerScale(c, name="ls1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+        x = x + LayerScale(c, name="ls2")(y)
+        return x
+
+
+class DinoViT(nn.Module):
+    """ViT with registers; returns normalized patch tokens [B, P, C]."""
+
+    img_size: int = 336
+    patch_size: int = 14
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: [B, H, W, 3], H == W == img_size, ImageNet-normalized."""
+        b = images.shape[0]
+        grid = self.img_size // self.patch_size
+        num_patches = grid * grid
+
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=self.patch_size,
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(images)
+        x = x.reshape(b, num_patches, self.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+        ).astype(self.dtype)
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, num_patches + 1, self.embed_dim),
+        ).astype(self.dtype)
+
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)), x], axis=1)
+        x = x + pos_embed
+
+        if self.num_register_tokens:
+            registers = self.param(
+                "register_tokens",
+                nn.initializers.zeros,
+                (1, self.num_register_tokens, self.embed_dim),
+            ).astype(self.dtype)
+            x = jnp.concatenate(
+                [
+                    x[:, :1],
+                    jnp.broadcast_to(
+                        registers, (b, self.num_register_tokens, self.embed_dim)
+                    ),
+                    x[:, 1:],
+                ],
+                axis=1,
+            )
+
+        for i in range(self.depth):
+            x = ViTBlock(
+                self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"blocks_{i}"
+            )(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # drop cls + registers -> patch tokens only (x_norm_patchtokens)
+        return x[:, 1 + self.num_register_tokens :]

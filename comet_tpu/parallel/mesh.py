@@ -1,0 +1,70 @@
+"""Device meshes and sharding helpers (the TPU-native distributed layer).
+
+Replaces the reference's HF-Accelerate/NCCL DDP (SURVEY.md §2.3) with
+jax.sharding: a (data, model) mesh, NamedSharding annotations on batch and
+parameter pytrees, and XLA-inserted collectives over ICI/DCN. No explicit
+communication code is needed — gradients sync through psum inserted by the
+partitioner.
+
+Axes:
+- "data": batch sharding (the reference's only strategy, DDP).
+- "model": optional tensor-parallel axis for the ViT/transformer weights —
+  COMET is 253.6M params so this is headroom, not a requirement.
+- the N=512 track axis is the natural sequence-parallel analog; shard_map
+  helpers below split tracks across chips for the tracker branch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch pytree with the leading axis sharded over data."""
+    sharding = data_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate_params(mesh: Mesh, params: Any) -> Any:
+    """Fully replicate parameters (data-parallel training)."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), params)
+
+
+def track_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the track axis (dim 1 of queries [B, N, 2]) across data chips —
+    the sequence-parallel analog for single-sequence inference."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def cross_replica_mean(tree: Any, axis_name: str = "data") -> Any:
+    """psum-mean a pytree inside shard_map/pmap contexts."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, axis_name), tree
+    )

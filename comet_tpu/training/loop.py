@@ -1,0 +1,175 @@
+"""Train / eval loops: jitted steps + host-side float64 metric block.
+
+Parity target: train_or_eval_fn (comet/models/train_eval_func_new_cp5.py:514-823)
+split into pure jitted device functions and a host loop that computes the
+float64 metric block (the reference's autocast-double section :632-675) and
+accumulates per-scene AUC.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import CometConfig
+from ..data.datasets import SequenceSample
+from ..data.keypoints import seed_query_points
+from ..geometry.cameras import CameraSet, make_camera_set
+from ..metrics import (
+    auc_from_histogram_prefix,
+    auc_histogram,
+    pairwise_se3_errors,
+    relative_frame_errors,
+)
+from ..models.comet import COMET, decode_predictions, encode_gt, pose_loss
+from .stats import RunningStats
+
+
+def make_gt_cameras(sample: SequenceSample) -> CameraSet:
+    return make_camera_set(
+        q=sample.q_wxyz,
+        t_xyz=sample.t_xyz,
+        t_uvz=sample.t_uvz,
+        focal=np.full((sample.q_wxyz.shape[0], 2), 1745.0, np.float32),
+        pp=None,
+        ratio=sample.ratio,
+    )
+
+
+def build_eval_step(model: COMET, cfg: CometConfig):
+    """Jitted device function: images + queries + gt cams -> predictions."""
+
+    @jax.jit
+    def step(params, images, queries, gt_cams: CameraSet):
+        out = model.apply(params, images, queries)
+        gt_enc = encode_gt(cfg, gt_cams)
+        gt_enc_b = gt_enc if gt_enc.ndim == 3 else gt_enc[None]
+        losses = pose_loss(cfg, out["pred_pose_enc"], gt_enc_b)
+        q_abs, t_abs = decode_predictions(cfg, out["pred_pose_enc"], gt_cams)
+        return {
+            "pred_pose_enc": out["pred_pose_enc"],
+            "gt_pose_enc": gt_enc,
+            "pred_q": q_abs,
+            "pred_t": t_abs,
+            "pred_track": out.get("pred_track"),
+            "track_score": out.get("track_score"),
+            **losses,
+        }
+
+    return step
+
+
+def build_train_step(model: COMET, cfg: CometConfig, tx: optax.GradientTransformation):
+    """Jitted train step: forward + pose loss + masked AdamW update."""
+
+    @jax.jit
+    def step(params, opt_state, images, queries, gt_cams: CameraSet):
+        def loss_fn(p):
+            out = model.apply(p, images, queries)
+            gt_enc = encode_gt(cfg, gt_cams)
+            gt_enc_b = gt_enc if gt_enc.ndim == 3 else gt_enc[None]
+            losses = pose_loss(cfg, out["pred_pose_enc"], gt_enc_b)
+            return losses["loss"], (out, losses, gt_enc)
+
+        (loss, (out, losses, gt_enc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        q_abs, t_abs = decode_predictions(cfg, out["pred_pose_enc"], gt_cams)
+        aux = {
+            "pred_pose_enc": out["pred_pose_enc"],
+            "gt_pose_enc": gt_enc,
+            "pred_q": q_abs,
+            "pred_t": t_abs,
+            **losses,
+        }
+        return params, opt_state, aux
+
+    return step
+
+
+def metric_block(
+    step_out: Dict[str, Any], gt_cams: CameraSet, seq_name: str = ""
+) -> Dict[str, float]:
+    """Host-side float64 metric block (train_eval_func_new_cp5.py:632-675).
+
+    Key-name and axis-mapping parity with the reference:
+    X_err = error_euler[2], acc@5deg_x = acc[2], etc.
+    """
+    pred_q = np.asarray(step_out["pred_q"]).reshape(-1, 4)
+    pred_t = np.asarray(step_out["pred_t"]).reshape(-1, 3)
+    gt_q = np.asarray(gt_cams.q)
+    gt_t = np.asarray(gt_cams.t_xyz)
+
+    pair = pairwise_se3_errors(pred_q, pred_t, gt_q, gt_t, batch_size=1)
+    pred_enc = np.asarray(step_out["pred_pose_enc"]).reshape(-1, 7)
+    gt_enc = np.asarray(step_out["gt_pose_enc"]).reshape(pred_enc.shape[0], -1)[:, :7]
+    rel = relative_frame_errors(pred_enc, gt_enc)
+
+    out: Dict[str, float] = {
+        "loss": float(step_out.get("loss", 0.0)),
+        "loss_trans": float(step_out.get("loss_trans", 0.0)),
+        "loss_rot": float(step_out.get("loss_rot", 0.0)),
+        "R_avg": float(rel["avg_rangle_deg"]),
+        "T_avg": float(pair["T_rmse_x1e3"]),
+        "Tx_mse": float(pair["X_rmse_x1e3"]),
+        "Ty_mse": float(pair["Y_rmse_x1e3"]),
+        "Tz_mse": float(pair["Z_rmse_x1e3"]),
+        # reference axis mapping (train_eval_func_new_cp5.py:644-655)
+        "X_err": float(rel["error_euler_xyz"][2]),
+        "Y_err": float(rel["error_euler_xyz"][1]),
+        "Z_err": float(rel["error_euler_xyz"][0]),
+        "acc@5deg_x": float(rel["acc_at_5deg_xyz"][2]),
+        "acc@5deg_y": float(rel["acc_at_5deg_xyz"][1]),
+        "acc@5deg_z": float(rel["acc_at_5deg_xyz"][0]),
+    }
+    for th in (5, 10, 15):
+        out[f"Racc_him_{th}"] = float((pair["rel_rangle_deg"] < th).mean())
+        out[f"Tacc_him_{th}"] = float((pair["rel_tangle_deg"] < th).mean())
+    _, hist = auc_histogram(pair["rel_rangle_deg"], pair["rel_tangle_deg"], 30)
+    for th in (30, 10, 5, 3):
+        out[f"Auc_{th}"] = auc_from_histogram_prefix(hist, th)
+    if seq_name:
+        out[f"Auc_scene_{seq_name}"] = auc_from_histogram_prefix(hist, 10)
+    return out
+
+
+def evaluate(
+    model: COMET,
+    params,
+    dataset,
+    cfg: CometConfig,
+    keypoint_backend: str = "corners",
+    max_sequences: Optional[int] = None,
+    print_fn=print,
+    print_interval: int = 50,
+) -> Dict[str, float]:
+    """Sequential eval over a dataset; returns epoch-average metrics."""
+    eval_step = build_eval_step(model, cfg)
+    stats = RunningStats()
+    rng = np.random.default_rng(cfg.train.seed)
+    n = len(dataset) if max_sequences is None else min(len(dataset), max_sequences)
+    for i in range(n):
+        sample = dataset[i]
+        queries = seed_query_points(
+            sample.images[0], sample.first_mask, cfg.track_num,
+            cfg.min_track_num, backend=keypoint_backend, rng=rng,
+        )
+        gt_cams = make_gt_cameras(sample)
+        out = eval_step(
+            params,
+            jnp.asarray(sample.images)[None],
+            jnp.asarray(queries)[None],
+            gt_cams,
+        )
+        metrics = metric_block(out, gt_cams, sample.seq_name)
+        stats.update(metrics)
+        if i % print_interval == 0:
+            print_fn(stats.status_string(i, n, "eval"))
+    return stats.averages()

@@ -1,0 +1,119 @@
+"""Data-layer tests on a synthetic on-disk AMD-layout fixture."""
+
+import numpy as np
+import pytest
+
+from comet_tpu.data import (
+    AMDDataset,
+    filter_and_pad,
+    generate_amd_fixture,
+    grid_points,
+    mask_bbox,
+    sample_evenly,
+    sample_with_max_gap,
+    seed_query_points,
+)
+
+
+@pytest.fixture(scope="module")
+def amd_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("amd") / "AMD_eval"
+    generate_amd_fixture(str(root), n_models=1, n_seqs=2, n_frames=12, img_hw=(120, 160))
+    return str(root)
+
+
+class TestSampling:
+    def test_max_gap_constraints(self, rng):
+        for _ in range(20):
+            idx = sample_with_max_gap(100, 16, rng)
+            assert len(idx) == 16
+            steps = np.diff(idx)
+            assert (steps >= 1).all() and (steps <= 8).all()
+            assert idx[-1] < 100
+
+    def test_too_few_frames_falls_back(self):
+        idx = sample_with_max_gap(5, 8)
+        assert len(idx) == 8
+
+    def test_evenly_deterministic(self):
+        assert sample_evenly(50, 8) == sample_evenly(50, 8)
+
+
+class TestDataset:
+    def test_listing_and_shapes(self, amd_root):
+        ds = AMDDataset(amd_root, crop_size=64, seq_len=4)
+        assert len(ds) == 2
+        sample = ds[0]
+        assert sample.images.shape == (4, 64, 64, 3)
+        assert sample.q_wxyz.shape == (4, 4)
+        assert sample.t_xyz.shape == (4, 3)
+        assert sample.t_uvz.shape == (4, 3)
+        assert sample.first_mask.shape == (64, 64)
+        assert sample.ratio > 0
+        # quaternions unit-norm
+        np.testing.assert_allclose(
+            np.linalg.norm(sample.q_wxyz, axis=-1), 1.0, atol=1e-5
+        )
+
+    def test_uvz_is_projection_of_t(self, amd_root):
+        ds = AMDDataset(amd_root, crop_size=64, seq_len=4)
+        s = ds[0]
+        fx = fy = 268.44444444
+        cx, cy = 320.0, 240.0
+        u = (fx * s.t_xyz[:, 0] + cx * s.t_xyz[:, 2]) / s.t_xyz[:, 2]
+        np.testing.assert_allclose(s.t_uvz[:, 0], u, rtol=1e-4)
+        np.testing.assert_allclose(s.t_uvz[:, 2], s.t_xyz[:, 2], rtol=1e-6)
+
+    def test_images_normalized(self, amd_root):
+        ds = AMDDataset(amd_root, crop_size=64, seq_len=4)
+        s = ds[0]
+        # black background maps to the ImageNet-normalized zero pixel
+        expected_min = (0.0 - 0.485) / 0.229
+        assert s.images.min() == pytest.approx(expected_min, abs=0.05)
+
+
+class TestKeypoints:
+    def test_mask_bbox(self):
+        m = np.zeros((10, 10), np.uint8)
+        m[2:5, 3:8] = 1
+        assert mask_bbox(m) == [3.0, 2.0, 8.0, 5.0]
+
+    def test_filter_and_pad_static_shape(self, rng):
+        mask = np.zeros((50, 50), bool)
+        mask[10:40, 10:40] = True
+        pts = rng.random((30, 2)) * 50
+        out = filter_and_pad(pts, mask, min_pts=16, max_pts=32, rng=rng)
+        assert out.shape == (32, 2)
+
+    def test_filter_respects_mask_when_enough(self, rng):
+        mask = np.zeros((50, 50), bool)
+        mask[10:40, 10:40] = True
+        inside = rng.random((40, 2)) * 25 + 12  # all inside
+        out = filter_and_pad(inside, mask, min_pts=8, max_pts=16, rng=rng)
+        xi = np.round(out[:, 0]).astype(int)
+        yi = np.round(out[:, 1]).astype(int)
+        assert mask[yi, xi].all()
+
+    def test_empty_mask_fallback(self, rng):
+        mask = np.zeros((20, 20), bool)
+        out = filter_and_pad(np.zeros((0, 2)), mask, 8, 16, rng=rng)
+        assert out.shape == (16, 2)
+
+    def test_seed_query_points_backends(self, amd_root, rng):
+        ds = AMDDataset(amd_root, crop_size=64, seq_len=4)
+        s = ds[0]
+        for backend in ("grid", "corners"):
+            pts = seed_query_points(
+                s.images[0], s.first_mask, track_num=32, min_pts=16,
+                backend=backend, rng=rng,
+            )
+            assert pts.shape == (32, 2)
+            assert (pts >= 0).all() and (pts < 64).all()
+
+    def test_grid_points_inside_mask(self):
+        mask = np.zeros((30, 30), bool)
+        mask[5:25, 5:25] = True
+        pts = grid_points(mask, 16)
+        xi = pts[:, 0].astype(int)
+        yi = pts[:, 1].astype(int)
+        assert mask[yi, xi].all()

@@ -1,0 +1,125 @@
+"""Tests for optimizer schedule, stats/CSV logging, checkpoints, monitor."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from comet_tpu.training import (
+    CsvLogger,
+    RunningStats,
+    TrainingMonitor,
+    build_optimizer,
+    camera_only_mask,
+    find_last_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+    warmup_cosine_restarts,
+)
+
+
+def reference_schedule(step, base_lr, t0, warmup_ratio, warmup_lr_init, eta_min=0.0):
+    """Direct transcription of WarmupCosineRestarts.get_lr
+    (train_util.py:2099-2128) with T_mult=1, iters_per_epoch folded into t0."""
+    t_cur = step % t0
+    warmup_iters = int(t0 * warmup_ratio)
+    if t_cur < warmup_iters:
+        ratio = t_cur / warmup_iters
+        return warmup_lr_init + (base_lr - warmup_lr_init) * ratio
+    t_adj = t_cur - warmup_iters
+    t_i = t0 - warmup_iters
+    return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * t_adj / t_i)) / 2
+
+
+class TestSchedule:
+    def test_matches_reference_formula(self):
+        base_lr, t0, wr, wi = 1e-5, 200, 0.1, 1e-7
+        sched = warmup_cosine_restarts(base_lr, t0, wr, wi)
+        for step in [0, 1, 10, 19, 20, 50, 100, 199, 200, 201, 350]:
+            ours = float(sched(step))
+            ref = reference_schedule(step, base_lr, t0, wr, wi)
+            assert ours == pytest.approx(ref, rel=1e-5), f"step {step}"
+
+    def test_warmup_starts_low(self):
+        sched = warmup_cosine_restarts(1e-4, 100, 0.1, 1e-7)
+        assert float(sched(0)) == pytest.approx(1e-7)
+        assert float(sched(10)) == pytest.approx(1e-4, rel=1e-3)
+
+
+class TestMask:
+    def test_camera_only_mask(self):
+        params = {
+            "params": {
+                "camera_predictor": {
+                    "pose_branch": {"kernel": jnp.zeros((2, 2))},
+                    "backbone": {"blocks_0": {"kernel": jnp.zeros((2, 2))}},
+                },
+                "coarse_tracker": {"kernel": jnp.zeros((2, 2))},
+            }
+        }
+        mask = camera_only_mask(params)
+        assert mask["params"]["camera_predictor"]["pose_branch"]["kernel"] is True
+        assert mask["params"]["camera_predictor"]["backbone"]["blocks_0"]["kernel"] is False
+        assert mask["params"]["coarse_tracker"]["kernel"] is False
+
+    def test_masked_update_only_touches_camera(self):
+        params = {
+            "params": {
+                "camera_predictor": {"w": jnp.ones((3,))},
+                "coarse_tracker": {"w": jnp.ones((3,))},
+            }
+        }
+        tx, _ = build_optimizer(params, base_lr=0.1, steps_per_epoch=10)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert np.abs(np.asarray(updates["params"]["camera_predictor"]["w"])).max() > 0
+        np.testing.assert_allclose(
+            np.asarray(updates["params"]["coarse_tracker"]["w"]), 0.0
+        )
+
+
+class TestStats:
+    def test_running_average(self):
+        s = RunningStats()
+        s.update({"loss": 1.0})
+        s.update({"loss": 3.0})
+        assert s.averages()["loss"] == pytest.approx(2.0)
+
+    def test_csv_logger(self, tmp_path):
+        path = str(tmp_path / "results.csv")
+        logger = CsvLogger(path)
+        logger.log(0, {"Auc_30": 0.5, "R_avg": 3.3})
+        logger.log(1, {"Auc_30": 0.6})
+        lines = open(path).read().strip().split("\n")
+        assert len(lines) == 3
+        assert lines[0].startswith("epoch,lr,Auc_30")
+
+    def test_monitor_flags_spike(self, tmp_path):
+        m = TrainingMonitor(str(tmp_path / "anoms"), threshold=1000, ratio=100)
+        assert not m.check(1.0, 0)
+        assert m.check(500.0, 1)  # 500 > 100 * 1.0
+        assert m.check(5000.0, 2)  # above absolute threshold
+        assert len(os.listdir(tmp_path / "anoms")) == 2
+
+
+class TestCheckpoints:
+    def test_save_find_restore(self, tmp_path):
+        state = {
+            "params": {"w": jnp.arange(4, dtype=jnp.float32)},
+            "epoch": jnp.asarray(3),
+        }
+        ckpt_dir = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt_dir, 3, state)
+        save_checkpoint(ckpt_dir, 7, state)
+        found = find_last_checkpoint(ckpt_dir)
+        assert found is not None and found[0] == 7
+        template = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored = restore_checkpoint(found[1], template)
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["w"]), np.arange(4, dtype=np.float32)
+        )
