@@ -1,0 +1,37 @@
+from .estimators import (
+    to_homogeneous,
+    normalize_points,
+    sampson_distance,
+    run_8point,
+    run_7point,
+    run_homography_dlt,
+    homography_transfer_error,
+    essential_from_fundamental,
+    decompose_essential,
+    motion_from_essential,
+    triangulate_point,
+    triangulate_points,
+    cheirality_count,
+    estimate_fundamental_ransac,
+    estimate_homography_ransac,
+    estimate_essential_ransac,
+    RansacResult,
+)
+from .triangulation import (
+    triangulate_multiview,
+    triangulate_tracks,
+    projection_matrices,
+    project_points,
+    bundle_adjust,
+    triangulate_and_refine,
+    BAState,
+)
+from .align import (
+    SimilarityTransform,
+    corresponding_points_alignment,
+    align_camera_extrinsics,
+    rotation_average,
+    relative_to_first,
+    farthest_point_sample,
+)
+from .pnp import PnPResult, solve_pnp, solve_pnp_batched, solve_pnp_focal_sweep

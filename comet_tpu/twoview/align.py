@@ -1,0 +1,111 @@
+"""Camera/trajectory alignment and averaging utilities, pure jnp.
+
+Parity targets: comet/utils/align.py:109,145 (Umeyama-style similarity
+alignment of camera extrinsics, corresponding-point alignment) and
+comet/utils/utils.py:25,136,190,204 (rotation averaging, relative-to-first
+normalization, farthest-point sampling).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.quaternions import matrix_to_quat, quat_invert, quat_multiply, quat_to_matrix
+
+
+class SimilarityTransform(NamedTuple):
+    r: jax.Array  # [3, 3]
+    t: jax.Array  # [3]
+    s: jax.Array  # []
+
+
+def corresponding_points_alignment(
+    x: jax.Array, y: jax.Array, estimate_scale: bool = True, eps: float = 1e-9
+) -> SimilarityTransform:
+    """Umeyama alignment: find (R, t, s) minimizing ||s x R + t - y||^2.
+
+    Row-vector convention (x @ R), matching minipytorch3d/PyTorch3D
+    corresponding_points_alignment used by align.py:109.
+    """
+    n = x.shape[0]
+    mu_x = x.mean(axis=0)
+    mu_y = y.mean(axis=0)
+    xc = x - mu_x
+    yc = y - mu_y
+
+    cov = xc.T @ yc / n  # [3, 3]
+    u, s_vals, vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
+    diag = jnp.asarray([1.0, 1.0, 1.0]).at[2].set(d)
+    # column-vector rotation taking x->y is V diag U^T; row convention uses
+    # its transpose applied as x @ R
+    r = (u * diag[None, :]) @ vt
+
+    var_x = (xc**2).sum() / n
+    scale = jnp.where(
+        estimate_scale, (s_vals * diag).sum() / jnp.maximum(var_x, eps), 1.0
+    )
+    t = mu_y - scale * mu_x @ r
+    return SimilarityTransform(r=r, t=t, s=scale)
+
+
+def align_camera_extrinsics(
+    r_src: jax.Array,  # [S, 3, 3]
+    t_src: jax.Array,  # [S, 3]
+    r_tgt: jax.Array,
+    t_tgt: jax.Array,
+    estimate_scale: bool = True,
+) -> Tuple[SimilarityTransform, jax.Array, jax.Array]:
+    """Align two camera trajectories by their optical centers + mean
+    rotation offset (align.py:145 capability). Returns the similarity and
+    the transformed (R, T) of the source cameras."""
+    # camera centers for row convention x_cam = x @ R + T: C = -T R^T
+    c_src = -jnp.einsum("sj,sij->si", t_src, r_src)
+    c_tgt = -jnp.einsum("sj,sij->si", t_tgt, r_tgt)
+    sim = corresponding_points_alignment(c_src, c_tgt, estimate_scale)
+
+    # compose world similarity with the source cameras (row convention):
+    # x_cam = (s x R_sim + t) @ R_src + T_src
+    #       = s x (R_sim R_src) + (t @ R_src + T_src)
+    r_new = jnp.einsum("ij,sjk->sik", sim.r, r_src)
+    t_new = jnp.einsum("j,sjk->sk", sim.t, r_src) + t_src
+    return sim, r_new, t_new
+
+
+def rotation_average(quats: jax.Array) -> jax.Array:
+    """Chordal-L2 rotation averaging: principal eigenvector of the outer-
+    product accumulator (comet/utils/utils.py:25 capability)."""
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    m = jnp.einsum("ni,nj->ij", q, q)
+    _, vecs = jnp.linalg.eigh(m)
+    avg = vecs[:, -1]
+    return avg * jnp.sign(avg[0] + 1e-12)
+
+
+def relative_to_first(q: jax.Array, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Re-express a trajectory relative to its first camera
+    (comet/utils/utils.py:136,190)."""
+    q_rel = quat_multiply(q, quat_invert(q[0:1]))
+    t_rel = t - t[0:1]
+    return q_rel, t_rel
+
+
+def farthest_point_sample(points: jax.Array, k: int) -> jax.Array:
+    """Greedy farthest-point sampling of k indices
+    (comet/utils/utils.py:204). Static-shape lax.scan."""
+    n = points.shape[0]
+    d2 = jnp.full((n,), jnp.inf)
+    first = jnp.asarray(0, jnp.int32)
+
+    def body(carry, _):
+        d2, last = carry
+        dist = jnp.sum((points - points[last]) ** 2, axis=-1)
+        d2 = jnp.minimum(d2, dist)
+        nxt = jnp.argmax(d2).astype(jnp.int32)
+        return (d2, nxt), last
+
+    (_, _), idx = jax.lax.scan(body, (d2, first), None, length=k)
+    return idx
