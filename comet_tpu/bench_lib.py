@@ -23,8 +23,13 @@ REFERENCE_SEQ_PER_SEC = 41.53 / 16.0  # RTX 4090 baseline at seqlen=16
 
 
 def run_benchmark(
-    cfg: CometConfig = None, warmup: int = 3, reps: int = 10, seed: int = 0
+    cfg: CometConfig = None, warmup: int = 2, reps: int = 16, seed: int = 0
 ) -> Dict:
+    """Timing methodology for this environment: the device tunnel has a
+    ~25 ms host round-trip and block_until_ready returns early, so we (a)
+    run all reps inside ONE jitted lax.scan with fresh on-device inputs per
+    rep, (b) force completion by fetching a scalar checksum, and (c)
+    subtract the measured empty-call round-trip."""
     cfg = cfg or get_config("ours")
     model = COMET(cfg)
 
@@ -38,18 +43,36 @@ def run_benchmark(
     ).astype(jnp.float32)
 
     params = jax.jit(model.init)(k3, images, queries)
-    fwd = jax.jit(model.apply)
 
-    # warmup (includes compile)
+    def run_many(params, key, n_reps):
+        def body(acc, k):
+            imgs = jax.random.normal(k, images.shape, jnp.float32)
+            qs = (
+                jax.random.uniform(k, queries.shape) * (cfg.img_size - 64) + 32
+            ).astype(jnp.float32)
+            out = model.apply(params, imgs, qs)
+            return acc + out["pred_pose_enc"].sum(), None
+
+        keys = jax.random.split(key, n_reps)
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return acc
+
+    fwd = jax.jit(run_many, static_argnums=2)
+
+    # measure host<->device round-trip overhead with a trivial call
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(trivial(jnp.float32(0.0)))
+    rtt = (time.perf_counter() - t0) / 3
+
     for _ in range(warmup):
-        out = fwd(params, images, queries)
-    jax.block_until_ready(out)
+        checksum = float(fwd(params, key, reps))  # compile + warm caches
 
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fwd(params, images, queries)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    checksum = float(fwd(params, key, reps))
+    elapsed = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     seq_per_sec = reps / elapsed
     return {
@@ -59,5 +82,6 @@ def run_benchmark(
         "vs_baseline": round(seq_per_sec / REFERENCE_SEQ_PER_SEC, 3),
         "fps": round(seq_per_sec * cfg.seqlen, 2),
         "ms_per_sequence": round(1000.0 * elapsed / reps, 2),
+        "host_rtt_ms": round(rtt * 1000.0, 2),
         "device": str(jax.devices()[0]),
     }

@@ -1,0 +1,101 @@
+"""Profiling and latency benchmarking utilities.
+
+Replaces the reference's scattered instrumentation (log_memory_status
+train_e2epose2.py:30-43, profile_dataloader train_util.py:1596, the CUDA-
+event harness gluefactory/utils/benchmark.py:7-33) with first-class JAX
+tools: jax.profiler traces for XLA-level inspection and a latency harness
+that is correct under this environment's asynchronous device tunnel
+(checksum-fetch synchronization + round-trip subtraction).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    """Capture a jax.profiler trace around a code block (view in
+    tensorboard/xprof)."""
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def measure_host_rtt(reps: int = 5) -> float:
+    """Host<->device round-trip seconds for a trivial dispatch+fetch."""
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(trivial(jnp.float32(0.0)))
+    return (time.perf_counter() - t0) / reps
+
+
+def benchmark_fn(
+    fn: Callable,
+    *args,
+    warmup: int = 2,
+    reps: int = 16,
+    checksum: Callable = None,
+) -> Dict[str, float]:
+    """Latency of a jittable fn, amortizing reps inside one jit call.
+
+    fn(*args) must return a pytree; checksum reduces it to a scalar
+    (default: sum of the first leaf). Returns mean ms per call with the
+    measured host round-trip subtracted — the analog of the reference's
+    10-warmup/100-rep CUDA-event methodology, adapted to an async tunnel.
+    """
+    if checksum is None:
+        def checksum(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.sum(leaf.astype(jnp.float32))
+
+    def run_many(n, *a):
+        def body(acc, _):
+            return acc + checksum(fn(*a)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return acc
+
+    jitted = jax.jit(run_many, static_argnums=0)
+    rtt = measure_host_rtt()
+    for _ in range(warmup):
+        float(jitted(reps, *args))
+    t0 = time.perf_counter()
+    float(jitted(reps, *args))
+    elapsed = max(time.perf_counter() - t0 - rtt, 1e-9)
+    return {
+        "ms_per_call": 1000.0 * elapsed / reps,
+        "calls_per_sec": reps / elapsed,
+        "host_rtt_ms": rtt * 1000.0,
+        "reps": reps,
+    }
+
+
+def log_memory_status(prefix: str = "") -> Dict[str, float]:
+    """Host RSS + per-device memory stats (log_memory_status equivalent)."""
+    out: Dict[str, float] = {}
+    try:
+        import resource
+
+        out["host_rss_gb"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    except Exception:
+        pass
+    for i, d in enumerate(jax.devices()):
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            out[f"dev{i}_bytes_in_use_gb"] = stats.get("bytes_in_use", 0) / 1e9
+            out[f"dev{i}_peak_gb"] = stats.get("peak_bytes_in_use", 0) / 1e9
+    if prefix:
+        print(prefix, {k: round(v, 3) for k, v in out.items()})
+    return out
