@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax
+
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS with
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start, so the
+# env var alone does NOT force CPU here — re-assert it through the config.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
