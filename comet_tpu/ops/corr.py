@@ -2,12 +2,18 @@
 
 The reference's ``CorrBlock`` (comet/models/track_modules/blocks.py:351-430)
 materializes full correlation volumes corr[B,S,N,H,W] = <track_feat, fmap>/√C
-then bilinearly samples a (2r+1)² window around each track. Since bilinear
-interpolation commutes with the inner product, we instead gather the fmap
-window first and contract against the track features — the
-``EfficientCorrBlock`` (blocks.py:432-484) formulation — which is
-mathematically identical to corr-then-sample, avoids a B·S·N·H·W HBM tensor,
-and turns the op into (gather → batched matmul) that XLA fuses well.
+then bilinearly samples a (2r+1)² window around each track.
+
+TPU design: contract FIRST, gather SECOND. The correlation volume is one
+batched matmul (MXU-friendly, ~10 GFLOP at full size), after which the
+window sampling gathers *scalars* from [Hl, Wl] score maps instead of
+C-dim feature vectors — ~C× less gather traffic than the
+``EfficientCorrBlock`` (blocks.py:432-484) gather-then-contract order.
+Because all (2r+1)² window points of one track share a single fractional
+offset, bilinear interpolation is done by gathering one integer-aligned
+(2r+2)² patch per track (per-index edge clamp == grid_sample
+padding_mode="border") and blending the four shifted sub-patches with the
+shared (fx, fy) weights — 4 multiply-adds per output instead of 4 gathers.
 
 Layout is channel-last throughout.
 """
@@ -18,8 +24,6 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
-
-from .bilinear import bilinear_sample
 
 
 def avg_pool_2x2(x: jax.Array) -> jax.Array:
@@ -54,6 +58,43 @@ def _window_offsets(radius: int, dtype=jnp.float32) -> jax.Array:
     return jnp.stack([outer.reshape(-1), inner.reshape(-1)], axis=-1)
 
 
+def _sample_windows_scalar(
+    vol: jax.Array, centroid: jax.Array, radius: int
+) -> jax.Array:
+    """Bilinear (2r+1)² window sample from scalar maps.
+
+    vol: [M, H, W] per-track score maps; centroid: [M, 2] (x, y) pixels.
+    Returns [M, (2r+1)²] with the reference's channel order (x offset in
+    the outer loop). Exactly equals border-clamped bilinear sampling at
+    centroid + integer offsets: all window points share one fractional
+    offset, so one integer (2r+2)² patch (indices edge-clamped per row/col)
+    blended by the shared (fx, fy) reproduces each point's clamped
+    4-neighbour interpolation.
+    """
+    m, h, w = vol.shape
+    r = radius
+    x = centroid[..., 0]
+    y = centroid[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(vol.dtype)[:, None, None]
+    fy = (y - y0).astype(vol.dtype)[:, None, None]
+
+    ar = jnp.arange(-r, r + 2, dtype=jnp.int32)  # 2r+2 taps
+    rows = jnp.clip(y0.astype(jnp.int32)[:, None] + ar, 0, h - 1)  # [M, 2r+2]
+    cols = jnp.clip(x0.astype(jnp.int32)[:, None] + ar, 0, w - 1)
+
+    def per_map(v, ri, ci):
+        return v[ri][:, ci]  # [2r+2, 2r+2]
+
+    patch = jax.vmap(per_map)(vol, rows, cols)  # [M, 2r+2, 2r+2]
+    top = patch[:, :-1, :-1] * (1 - fx) + patch[:, :-1, 1:] * fx
+    bot = patch[:, 1:, :-1] * (1 - fx) + patch[:, 1:, 1:] * fx
+    out = top * (1 - fy) + bot * fy  # [M, 2r+1 (y), 2r+1 (x)]
+    # reference order: k = ix*(2r+1) + iy (x in the outer loop)
+    return out.transpose(0, 2, 1).reshape(m, (2 * r + 1) ** 2)
+
+
 def corr_pyramid_sample(
     pyramid: Sequence[jax.Array],
     coords: jax.Array,
@@ -69,27 +110,31 @@ def corr_pyramid_sample(
 
     Returns [B, S, N, L*(2r+1)²] correlation features = <track_feat,
     fmap(sampled window)> / √C, levels concatenated in pyramid order —
-    byte-identical semantics to CorrBlock.corr + CorrBlock.sample.
+    byte-identical semantics to CorrBlock.corr + CorrBlock.sample
+    (blocks.py:376-429). Contraction runs before the gather so the gather
+    moves scalars, not C-vectors (see module docstring).
     """
     b, s, n, _ = coords.shape
     c = track_feats.shape[-1]
-    offsets = _window_offsets(radius, coords.dtype)  # [K, 2]
-    k = offsets.shape[0]
     inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(c, track_feats.dtype))
 
     outs = []
     for lvl, fmaps in enumerate(pyramid):
+        hl, wl = fmaps.shape[2], fmaps.shape[3]
         centroid = coords / (2.0**lvl)  # [B, S, N, 2]
-        pts = centroid[..., None, :] + offsets  # [B, S, N, K, 2]
-        flat_maps = fmaps.reshape(b * s, *fmaps.shape[2:])
-        flat_pts = pts.reshape(b * s, n * k, 2)
-        win = jax.vmap(bilinear_sample)(flat_maps, flat_pts)  # [B*S, N*K, C]
-        win = win.reshape(b, s, n, k, c)
-        corr = jnp.einsum(
-            "bsnkc,bsnc->bsnk", win, track_feats,
-            preferred_element_type=track_feats.dtype,
-        ) * inv_sqrt_c
-        outs.append(corr)
+        vol = (
+            jnp.einsum(
+                "bsnc,bshwc->bsnhw", track_feats, fmaps,
+                preferred_element_type=track_feats.dtype,
+            )
+            * inv_sqrt_c
+        )
+        win = _sample_windows_scalar(
+            vol.reshape(b * s * n, hl, wl),
+            centroid.reshape(b * s * n, 2),
+            radius,
+        )
+        outs.append(win.reshape(b, s, n, -1))
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -104,17 +149,15 @@ def extract_patches(
              refine_track.py:90-93).
     Returns [B, N, psize, psize, C].
     """
-    b, h, w, c = images.shape
-    n = topleft.shape[1]
-    lin = jnp.arange(psize, dtype=jnp.int32)
-    rows = topleft[..., 1][..., None] + lin  # [B, N, P]
-    cols = topleft[..., 0][..., None] + lin  # [B, N, P]
+    c = images.shape[-1]
 
-    def per_image(img, r, cgrid):
-        # img [H, W, C]; r, cgrid [N, P]
-        sub = img[r]  # [N, P, W, C]
-        return jnp.take_along_axis(
-            sub, cgrid[:, None, :, None], axis=2
-        )  # [N, P, P, C]
+    def per_patch(img, tl):
+        # dynamic_slice clamps starts into range, matching the pre-clamped
+        # topleft contract; vmapping it lowers to ONE gather whose slices
+        # are whole (psize, psize, C) blocks — large contiguous reads
+        # instead of per-row/per-element advanced indexing.
+        return jax.lax.dynamic_slice(
+            img, (tl[1], tl[0], 0), (psize, psize, c)
+        )
 
-    return jax.vmap(per_image)(images, rows, cols)
+    return jax.vmap(jax.vmap(per_patch, in_axes=(None, 0)))(images, topleft)

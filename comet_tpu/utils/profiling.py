@@ -55,6 +55,13 @@ def benchmark_fn(
     (default: sum of the first leaf). Returns mean ms per call with the
     measured host round-trip subtracted — the analog of the reference's
     10-warmup/100-rep CUDA-event methodology, adapted to an async tunnel.
+
+    Two defenses against XLA optimizing the measurement away:
+    - pass tensors via *args, never closures — a closed-over array is baked
+      into the program as a literal (slow/oversized compiles);
+    - each iteration multiplies the smallest float input by a loop-carried
+      (1 + acc*0^~) factor, so the body is NOT loop-invariant and cannot be
+      hoisted out of the scan (which previously measured 0.00 ms).
     """
     if checksum is None:
         def checksum(out):
@@ -62,8 +69,20 @@ def benchmark_fn(
             return jnp.sum(leaf.astype(jnp.float32))
 
     def run_many(n, *a):
+        leaves, treedef = jax.tree_util.tree_flatten(a)
+
         def body(acc, _):
-            return acc + checksum(fn(*a)), None
+            scale = 1.0 + acc * 1e-30  # runtime value == 1.0, not foldable
+            lv = [
+                leaf * scale.astype(leaf.dtype)
+                if hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)
+                else leaf
+                for leaf in leaves
+            ]
+            a2 = jax.tree_util.tree_unflatten(treedef, lv)
+            return acc + checksum(fn(*a2)), None
+
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return acc
 

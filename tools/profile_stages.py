@@ -51,7 +51,7 @@ cam = CameraPredictor(dtype=dtype)
 traj = (jax.random.uniform(key, (B, S, N, 2)) * H).astype(jnp.float32)
 conf = jax.random.uniform(key, (B, S, N))
 cam_params = jax.jit(cam.init)(key, images, traj, conf)
-report("camera predictor (full)", benchmark_fn(lambda p: cam.apply(p, images, traj, conf), cam_params, reps=8))
+report("camera predictor (full)", benchmark_fn(lambda p, im, tr, cf: cam.apply(p, im, tr, cf), cam_params, images, traj, conf, reps=8))
 
 # 3. coarse fnet
 enc = BasicEncoder(output_dim=tc.coarse_latent_dim, stride=tc.coarse_stride, dtype=dtype)
@@ -70,8 +70,8 @@ trk_params = jax.jit(lambda k, q, f: trk.init(k, q, f, iters=tc.coarse_iters))(k
 report(
     "coarse tracker (4 iters)",
     benchmark_fn(
-        lambda p: trk.apply(p, queries, fmaps, iters=tc.coarse_iters, down_ratio=2).coord_preds,
-        trk_params, reps=8,
+        lambda p, q, f: trk.apply(p, q, f, iters=tc.coarse_iters, down_ratio=2).coord_preds,
+        trk_params, queries, fmaps, reps=8,
     ),
 )
 
@@ -81,9 +81,8 @@ tl = jnp.clip(jnp.floor(coarse_pred).astype(jnp.int32) - 15, 0, H - 31)
 report(
     "patch extraction (8192x31x31)",
     benchmark_fn(
-        lambda: extract_patches(
-            images.reshape(B * S, H, H, 3), tl.reshape(B * S, N, 2), 31
-        ),
+        lambda im, t: extract_patches(im, t, 31),
+        images.reshape(B * S, H, H, 3), tl.reshape(B * S, N, 2),
         reps=8,
     ),
 )
@@ -106,8 +105,8 @@ ftrk_params = jax.jit(lambda k, q, f: ftrk.init(k, q, f, iters=tc.fine_iters))(k
 report(
     "fine tracker (6 iters)",
     benchmark_fn(
-        lambda p: ftrk.apply(p, pq, patch_feat, iters=tc.fine_iters).coord_preds,
-        ftrk_params, reps=8,
+        lambda p, q, f: ftrk.apply(p, q, f, iters=tc.fine_iters).coord_preds,
+        ftrk_params, pq, patch_feat, reps=8,
     ),
 )
 
@@ -115,7 +114,8 @@ report(
 report(
     "resize 512->336 (16 frames)",
     benchmark_fn(
-        lambda: resize_bilinear_align_corners(images.reshape(B * S, H, H, 3), 336, 336),
+        lambda im: resize_bilinear_align_corners(im, 336, 336),
+        images.reshape(B * S, H, H, 3),
         reps=8,
     ),
 )
