@@ -43,6 +43,10 @@ def run_benchmark(
     ).astype(jnp.float32)
 
     params = jax.jit(model.init)(k3, images, queries)
+    # one-time bf16 cast: the benchmark measures inference, not f32 masters
+    from .utils import cast_params_for_inference
+
+    params = cast_params_for_inference(params, cfg.dtype)
 
     def run_many(params, key, n_reps):
         def body(acc, k):

@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..models.blocks import gelu
 from .registry import register_model
 
 
@@ -99,7 +100,7 @@ class GlueAttention(nn.Module):
         out = jnp.einsum("hqk,khd->qhd", w, vh).reshape(-1, d)
         merged = jnp.concatenate([x, out], axis=-1)
         y = nn.Dense(2 * d, dtype=self.dtype, name="ffn1")(merged)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(d, dtype=self.dtype, name="ffn2")(y)
         return x + y
 

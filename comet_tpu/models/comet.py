@@ -103,9 +103,11 @@ class COMET(nn.Module):
             coarse_pred = coarse_out.coord_preds[-1]  # [B, S, N, 2]
 
             if cfg.fine_tracker:
+                # cast before extraction: extract(cast(x)) == cast(extract(x))
+                # and keeps the patch gather + selection einsum in bf16
                 refined, score = refine_track(
-                    images,
-                    lambda p: fine_fnet(p.astype(dtype)),
+                    images.astype(dtype),
+                    lambda p: fine_fnet(p),
                     lambda q, f, iters: fine_tracker(q, f, iters=iters),
                     coarse_pred,
                     pradius=tc.fine_pradius,

@@ -2,8 +2,13 @@
 
 Parity target: comet/models/refine_track.py:26-278 (refine_track,
 compute_score_fn). The reference's unfold-then-fancy-index becomes a batched
-static-shape gather (ops.extract_patches); the kornia dsnt spatial
-expectation becomes a plain softmax-moment computation.
+static-shape gather + one-hot selection einsum (ops.extract_patches_ex); the
+kornia dsnt spatial expectation becomes a plain softmax-moment computation.
+
+TPU layout note: patches are extracted TRACK-major ([N, B·S, P, P, C]) so
+the per-track fine tracker consumes them without transposing a
+[B·N, S, 31, 31, C] tensor (the (s, n) relayout cost ~10 ms/fwd); the score
+computation is order-agnostic and runs track-major too.
 
 Reference quirks preserved on purpose:
 - patch top-left is clamped for extraction but the UNCLAMPED top-left is
@@ -20,7 +25,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import extract_patches
+from ..ops import extract_patches_ex
 
 
 def refine_track(
@@ -44,17 +49,19 @@ def refine_track(
     topleft_unclamped = track_int - pradius  # [B, S, N, 2]
     topleft = jnp.clip(topleft_unclamped, 0, h - psize)
 
-    patches = extract_patches(
+    patches = extract_patches_ex(
         images.reshape(b * s, h, w, images.shape[-1]),
         topleft.reshape(b * s, n, 2),
         psize,
-    )  # [B*S, N, P, P, 3]
-    patch_feat = fine_fnet(patches.reshape(b * s * n, psize, psize, -1))
+        track_major=True,
+    )  # [N, B*S, P, P, 3]
+    patch_feat = fine_fnet(patches.reshape(n * b * s, psize, psize, -1))
     c_out = patch_feat.shape[-1]
 
-    # (B*S*N, P, P, C) -> (B*N, S, P, P, C)
-    patch_feat = patch_feat.reshape(b, s, n, psize, psize, c_out)
-    patch_feat_bn = patch_feat.transpose(0, 2, 1, 3, 4, 5).reshape(
+    # (N*B*S, P, P, C) -> (B*N, S, P, P, C); for B == 1 the leading
+    # transpose is a pure bitcast (no data movement).
+    patch_feat_nb = patch_feat.reshape(n, b, s, psize, psize, c_out)
+    patch_feat_bn = patch_feat_nb.transpose(1, 0, 2, 3, 4, 5).reshape(
         b * n, s, psize, psize, c_out
     )
 
@@ -73,8 +80,8 @@ def refine_track(
     if compute_score:
         score = compute_score_fn(
             out.query_feats.reshape(b, n, c_out),
-            patch_feat,
-            out.coord_preds[-1][..., 0, :].reshape(b, n, s, 2).transpose(0, 2, 1, 3),
+            patch_feat_bn.reshape(b, n, s, psize, psize, c_out),
+            fine_rel.reshape(b, n, s, 2),
             sradius,
             psize,
         )
@@ -83,28 +90,27 @@ def refine_track(
 
 def compute_score_fn(
     query_feat: jax.Array,  # [B, N, C]
-    patch_feat: jax.Array,  # [B, S, N, P, P, C]
-    fine_pred: jax.Array,  # [B, S, N, 2] relative to patch top-left
+    patch_feat: jax.Array,  # [B, N, S, P, P, C] (track-major)
+    fine_pred: jax.Array,  # [B, N, S, 2] relative to patch top-left
     sradius: int,
     psize: int,
 ) -> jax.Array:
     """Std of the 5x5 similarity heatmap around each fine prediction
     (refine_track.py:174-278). Returns [B, S, N]; frame 0 gets score 1."""
-    b, s, n, _, _, c = patch_feat.shape
+    b, n, s, _, _, c = patch_feat.shape
     ssize = 2 * sradius + 1
 
     floor = jnp.floor(fine_pred).astype(jnp.int32)
-    topleft = jnp.clip(floor - sradius, 0, psize - ssize)  # [B, S, N, 2]
+    topleft = jnp.clip(floor - sradius, 0, psize - ssize)  # [B, N, S, 2]
 
-    windows = extract_patches(
-        patch_feat.reshape(b * s * n, psize, psize, c),
-        topleft.reshape(b * s * n, 1, 2),
+    windows = extract_patches_ex(
+        patch_feat.reshape(b * n * s, psize, psize, c),
+        topleft.reshape(b * n * s, 1, 2),
         ssize,
-    ).reshape(b, s, n, ssize * ssize, c)
+    ).reshape(b, n, s, ssize * ssize, c)
 
-    q = query_feat[:, None]  # [B, 1, N, C]
     sim = jnp.einsum(
-        "bsnkc,bsnc->bsnk", windows, jnp.broadcast_to(q, (b, s, n, c)),
+        "bnskc,bnc->bnsk", windows, query_feat,
         preferred_element_type=jnp.float32,
     )
     heat = jax.nn.softmax(sim / jnp.sqrt(jnp.asarray(c, sim.dtype)), axis=-1)
@@ -114,9 +120,10 @@ def compute_score_fn(
     gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
     grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [K, 2]
 
-    mean = jnp.einsum("bsnk,kd->bsnd", heat, grid)
-    second = jnp.einsum("bsnk,kd->bsnd", heat, grid**2)
+    mean = jnp.einsum("bnsk,kd->bnsd", heat, grid)
+    second = jnp.einsum("bnsk,kd->bnsd", heat, grid**2)
     var = second - mean**2
-    std = jnp.sqrt(jnp.clip(var, 1e-10, None)).sum(axis=-1)  # [B, S, N]
+    std = jnp.sqrt(jnp.clip(var, 1e-10, None)).sum(axis=-1)  # [B, N, S]
 
+    std = std.transpose(0, 2, 1)  # [B, S, N]
     return jnp.concatenate([jnp.ones_like(std[:, :1]), std[:, 1:]], axis=1)

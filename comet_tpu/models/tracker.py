@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..geometry.embeddings import embed_2d_coords, sincos_2d_pos_embed_grid
 from ..ops import build_fmap_pyramid, corr_pyramid_sample, sample_features
+from .blocks import gelu
 from .update_former import EfficientUpdateFormer
 
 
@@ -137,10 +138,14 @@ class BaseTracker(nn.Module):
 
             # GroupNorm -> Linear -> GELU residual update of track features
             # (ffeat_updater = Sequential(Linear, GELU) applied to
-            # norm(delta), base_track_predictor.py:84-86, 237-239)
-            update = nn.gelu(
-                ffeat_dense(ffeat_norm(delta_feats)), approximate=False
-            )
+            # norm(delta), base_track_predictor.py:84-86, 237-239).
+            # The reference normalizes [B*N*S, C] rows, i.e. per-sample over
+            # C only — flatten before flax GroupNorm (which would otherwise
+            # treat N, S as spatial dims and normalize across them).
+            normed = ffeat_norm(
+                delta_feats.reshape(-1, self.latent_dim)
+            ).reshape(delta_feats.shape)
+            update = gelu(ffeat_dense(normed))
             track_feats = (tfeats_bn + update).transpose(0, 2, 1, 3)
 
             coords = coords + delta_coords.transpose(0, 2, 1, 3)

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .blocks import gelu
+
 
 class ViTAttention(nn.Module):
     """Standard ViT attention with fused qkv (DINOv2 layout)."""
@@ -67,7 +69,7 @@ class ViTBlock(nn.Module):
         x = x + LayerScale(c, name="ls1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         x = x + LayerScale(c, name="ls2")(y)
         return x

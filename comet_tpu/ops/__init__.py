@@ -8,4 +8,5 @@ from .corr import (
     build_fmap_pyramid,
     corr_pyramid_sample,
     extract_patches,
+    extract_patches_ex,
 )

@@ -11,9 +11,10 @@ C-dim feature vectors — ~C× less gather traffic than the
 ``EfficientCorrBlock`` (blocks.py:432-484) gather-then-contract order.
 Because all (2r+1)² window points of one track share a single fractional
 offset, bilinear interpolation is done by gathering one integer-aligned
-(2r+2)² patch per track (per-index edge clamp == grid_sample
-padding_mode="border") and blending the four shifted sub-patches with the
+(2r+2)² patch per track and blending the four shifted sub-patches with the
 shared (fx, fy) weights — 4 multiply-adds per output instead of 4 gathers.
+Out-of-range taps are zero-masked by default (grid_sample
+padding_mode="zeros", the reference CorrBlock's default, blocks.py:358).
 
 Layout is channel-last throughout.
 """
@@ -27,12 +28,19 @@ import jax.numpy as jnp
 
 
 def avg_pool_2x2(x: jax.Array) -> jax.Array:
-    """2x2 average pool, stride 2, on [..., H, W, C] (floor semantics)."""
+    """2x2 average pool, stride 2, on [..., H, W, C] (floor semantics).
+
+    Written as four strided slices + adds (not reshape/mean): jnp.mean
+    upcasts bf16 to f32 and the odd-size slice breaks the (8,128) tiling,
+    which cost ~15 ms/fwd on the fine pyramid (measured via jax.profiler).
+    """
     h, w = x.shape[-3], x.shape[-2]
     h2, w2 = h // 2, w // 2
-    x = x[..., : h2 * 2, : w2 * 2, :]
-    shape = (*x.shape[:-3], h2, 2, w2, 2, x.shape[-1])
-    return x.reshape(shape).mean(axis=(-4, -2))
+    a = x[..., 0 : h2 * 2 : 2, 0 : w2 * 2 : 2, :]
+    b = x[..., 0 : h2 * 2 : 2, 1 : w2 * 2 : 2, :]
+    c = x[..., 1 : h2 * 2 : 2, 0 : w2 * 2 : 2, :]
+    d = x[..., 1 : h2 * 2 : 2, 1 : w2 * 2 : 2, :]
+    return (a + b + c + d) * jnp.asarray(0.25, x.dtype)
 
 
 def build_fmap_pyramid(fmaps: jax.Array, num_levels: int) -> List[jax.Array]:
@@ -59,17 +67,19 @@ def _window_offsets(radius: int, dtype=jnp.float32) -> jax.Array:
 
 
 def _sample_windows_scalar(
-    vol: jax.Array, centroid: jax.Array, radius: int
+    vol: jax.Array, centroid: jax.Array, radius: int,
+    padding_mode: str = "zeros",
 ) -> jax.Array:
     """Bilinear (2r+1)² window sample from scalar maps.
 
     vol: [M, H, W] per-track score maps; centroid: [M, 2] (x, y) pixels.
     Returns [M, (2r+1)²] with the reference's channel order (x offset in
-    the outer loop). Exactly equals border-clamped bilinear sampling at
+    the outer loop). Exactly equals grid_sample-style bilinear sampling at
     centroid + integer offsets: all window points share one fractional
-    offset, so one integer (2r+2)² patch (indices edge-clamped per row/col)
-    blended by the shared (fx, fy) reproduces each point's clamped
-    4-neighbour interpolation.
+    offset, so one integer (2r+2)² patch blended by the shared (fx, fy)
+    reproduces each point's 4-neighbour interpolation. padding_mode
+    "zeros" masks out-of-range neighbour taps (grid_sample default — the
+    reference CorrBlock uses this, blocks.py:358); "border" edge-clamps.
     """
     m, h, w = vol.shape
     r = radius
@@ -81,13 +91,21 @@ def _sample_windows_scalar(
     fy = (y - y0).astype(vol.dtype)[:, None, None]
 
     ar = jnp.arange(-r, r + 2, dtype=jnp.int32)  # 2r+2 taps
-    rows = jnp.clip(y0.astype(jnp.int32)[:, None] + ar, 0, h - 1)  # [M, 2r+2]
-    cols = jnp.clip(x0.astype(jnp.int32)[:, None] + ar, 0, w - 1)
+    rows_raw = y0.astype(jnp.int32)[:, None] + ar  # [M, 2r+2]
+    cols_raw = x0.astype(jnp.int32)[:, None] + ar
+    rows = jnp.clip(rows_raw, 0, h - 1)
+    cols = jnp.clip(cols_raw, 0, w - 1)
 
     def per_map(v, ri, ci):
         return v[ri][:, ci]  # [2r+2, 2r+2]
 
     patch = jax.vmap(per_map)(vol, rows, cols)  # [M, 2r+2, 2r+2]
+    if padding_mode == "zeros":
+        rmask = ((rows_raw >= 0) & (rows_raw < h)).astype(vol.dtype)
+        cmask = ((cols_raw >= 0) & (cols_raw < w)).astype(vol.dtype)
+        patch = patch * rmask[:, :, None] * cmask[:, None, :]
+    elif padding_mode != "border":
+        raise ValueError(f"unknown padding_mode {padding_mode}")
     top = patch[:, :-1, :-1] * (1 - fx) + patch[:, :-1, 1:] * fx
     bot = patch[:, 1:, :-1] * (1 - fx) + patch[:, 1:, 1:] * fx
     out = top * (1 - fy) + bot * fy  # [M, 2r+1 (y), 2r+1 (x)]
@@ -100,6 +118,7 @@ def corr_pyramid_sample(
     coords: jax.Array,
     track_feats: jax.Array,
     radius: int,
+    padding_mode: str = "zeros",
 ) -> jax.Array:
     """Fused correlation sampling.
 
@@ -111,7 +130,8 @@ def corr_pyramid_sample(
     Returns [B, S, N, L*(2r+1)²] correlation features = <track_feat,
     fmap(sampled window)> / √C, levels concatenated in pyramid order —
     byte-identical semantics to CorrBlock.corr + CorrBlock.sample
-    (blocks.py:376-429). Contraction runs before the gather so the gather
+    (blocks.py:376-429), including the default zero-padded window sampling
+    (CorrBlock padding_mode="zeros", blocks.py:358). Contraction runs before the gather so the gather
     moves scalars, not C-vectors (see module docstring).
     """
     b, s, n, _ = coords.shape
@@ -133,6 +153,7 @@ def corr_pyramid_sample(
             vol.reshape(b * s * n, hl, wl),
             centroid.reshape(b * s * n, 2),
             radius,
+            padding_mode=padding_mode,
         )
         outs.append(win.reshape(b, s, n, -1))
     return jnp.concatenate(outs, axis=-1)
@@ -149,15 +170,46 @@ def extract_patches(
              refine_track.py:90-93).
     Returns [B, N, psize, psize, C].
     """
-    c = images.shape[-1]
+    return extract_patches_ex(images, topleft, psize, track_major=False)
 
-    def per_patch(img, tl):
-        # dynamic_slice clamps starts into range, matching the pre-clamped
-        # topleft contract; vmapping it lowers to ONE gather whose slices
-        # are whole (psize, psize, C) blocks — large contiguous reads
-        # instead of per-row/per-element advanced indexing.
-        return jax.lax.dynamic_slice(
-            img, (tl[1], tl[0], 0), (psize, psize, c)
-        )
 
-    return jax.vmap(jax.vmap(per_patch, in_axes=(None, 0)))(images, topleft)
+def extract_patches_ex(
+    images: jax.Array,
+    topleft: jax.Array,
+    psize: int,
+    track_major: bool = False,
+) -> jax.Array:
+    """Patch extraction with selectable output order.
+
+    track_major=False -> [B, N, psize, psize, C] (extract_patches order);
+    track_major=True  -> [N, B, psize, psize, C], which lets refine_track
+    feed the fine tracker without transposing a [B·N, S, P, P, C] tensor
+    (the (s, n) transpose cost ~10 ms/fwd in layout copies).
+
+    TPU formulation (chosen from jax.profiler traces of the full model):
+    1. transpose images to channel-first once, so the row gather's slices
+       and the later contraction axis (w) are both minor;
+    2. row gather with whole W rows as slices — one batched gather kernel;
+    3. column selection as a one-hot einsum on the MXU. One-hot selection
+       is exact in any dtype (each output is 1.0 * one value).
+    Avoided alternatives (all measured slower in-context): per-element
+    advanced-indexing column gathers (~16 ms), vmap(lax.dynamic_slice)
+    (unrolls into one kernel launch per patch), NHWC row gather followed
+    by the einsum (XLA inserts a ~22 ms relayout to make w minor).
+    """
+    b, h, w, c = images.shape
+    n = topleft.shape[1]
+    lin = jnp.arange(psize, dtype=jnp.int32)
+    rows = topleft[..., 1][..., None] + lin  # [B, N, P]
+    cols = topleft[..., 0][..., None] + lin  # [B, N, P]
+
+    imgs_t = images.transpose(0, 3, 1, 2)  # [B, C, H, W], w minor
+    sub = jax.vmap(lambda img, r: img[:, r])(
+        imgs_t, rows.reshape(b, n * psize)
+    ).reshape(b, c, n, psize, w)
+
+    sel = (cols[..., None] == jnp.arange(w, dtype=jnp.int32)).astype(
+        images.dtype
+    )  # [B, N, P(x), W] one-hot
+    spec = "bnqw,bcnpw->nbpqc" if track_major else "bnqw,bcnpw->bnpqc"
+    return jnp.einsum(spec, sel, sub, preferred_element_type=images.dtype)

@@ -72,9 +72,13 @@ def benchmark_fn(
         leaves, treedef = jax.tree_util.tree_flatten(a)
 
         def body(acc, _):
-            scale = 1.0 + acc * 1e-30  # runtime value == 1.0, not foldable
+            # Additive, not multiplicative: a scalar factor can be pulled out
+            # of matmuls ((sx)@(sw) = s²(x@w)) and is invisible to
+            # scale-invariant ops (LayerNorm), letting XLA hoist the "work"
+            # out of the loop anyway. An additive runtime-zero cannot.
+            delta = acc * 1e-30
             lv = [
-                leaf * scale.astype(leaf.dtype)
+                leaf + delta.astype(leaf.dtype)
                 if hasattr(leaf, "dtype")
                 and jnp.issubdtype(leaf.dtype, jnp.floating)
                 else leaf

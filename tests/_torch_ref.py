@@ -1,0 +1,217 @@
+"""Harness for importing the REFERENCE torch model from /root/reference.
+
+Used only by the numerical-parity tests (tests/test_torch_parity.py): the
+reference modules are instantiated with random weights, their state_dict is
+converted with tools/convert_torch_weights.py, and the JAX rebuild must
+reproduce the torch forward. Nothing from the reference is copied into the
+package — it is imported read-only at test time, exactly like the
+reference's own random-weight smoke test (E2Epose2.py:660-825) does.
+
+The reference needs hydra / kornia / torch.hub (DINOv2 download) at import
+or call time; this module installs minimal faithful stand-ins:
+- hydra.utils.instantiate: resolve `_target_` via importlib (the only
+  behavior the reference uses, track_predictor.py:43-54);
+- kornia create_meshgrid / dsnt.spatial_expectation2d: the documented
+  normalized-grid expectation (used by refine_track.py:259-262);
+- torch.hub DINOv2: a locally-built torch ViT-B/14 with registers whose
+  parameter names match the dinov2 checkpoint layout the converter maps.
+"""
+
+from __future__ import annotations
+
+import importlib
+import math
+import sys
+import types
+
+# NOTE: models/ must come before comet/ so the reference's bare
+# `from utils import ...` resolves to comet/models/utils.py (the scripts
+# are documented to run from comet/models, README.md:49-66), not the
+# comet/utils package.
+REF_PATHS = [
+    "/root/reference",
+    "/root/reference/comet/models",
+    "/root/reference/comet",
+]
+
+
+def install(monkeypatch=None):
+    """Install sys.path entries and dependency stubs. Idempotent."""
+    import torch
+
+    for p in REF_PATHS:
+        if p not in sys.path:
+            sys.path.append(p)
+
+    if "hydra" not in sys.modules:
+        hydra = types.ModuleType("hydra")
+        hutils = types.ModuleType("hydra.utils")
+
+        def instantiate(conf, **kwargs):
+            conf = dict(conf)
+            target = conf.pop("_target_")
+            mod, cls = target.rsplit(".", 1)
+            return getattr(importlib.import_module(mod), cls)(**conf, **kwargs)
+
+        hutils.instantiate = instantiate
+        hydra.utils = hutils
+        sys.modules["hydra"] = hydra
+        sys.modules["hydra.utils"] = hutils
+
+    # models/utils.py does `from train_eval_func import QuaternionCameras`,
+    # and train_eval_func.py needs full pytorch3d + lightglue + tqdm. Load
+    # ONLY the QuaternionCameras class by exec'ing its source slice from the
+    # reference file (read-only, nothing copied into the repo).
+    if "train_eval_func" not in sys.modules:
+        import re
+
+        src = open(
+            "/root/reference/comet/models/train_eval_func_new_cp5.py"
+        ).read()
+        m = re.search(r"^class QuaternionCameras.*?(?=^\S)", src, re.M | re.S)
+        from minipytorch3d.cameras import get_world_to_view_transform
+        from minipytorch3d.rotation_conversions import quaternion_to_matrix
+        from minipytorch3d.transform3d import Transform3d
+
+        ns = {
+            "torch": torch,
+            "quaternion_to_matrix": quaternion_to_matrix,
+            "Transform3d": Transform3d,
+            "get_world_to_view_transform": get_world_to_view_transform,
+        }
+        exec(compile(m.group(0), "train_eval_func_new_cp5:QuaternionCameras", "exec"), ns)
+        mod = types.ModuleType("train_eval_func")
+        mod.QuaternionCameras = ns["QuaternionCameras"]
+        sys.modules["train_eval_func"] = mod
+
+    if "kornia" not in sys.modules:
+        def create_meshgrid(
+            height, width, normalized_coordinates=True, device=None, dtype=None
+        ):
+            if normalized_coordinates:
+                xs = torch.linspace(-1.0, 1.0, width, device=device, dtype=dtype)
+                ys = torch.linspace(-1.0, 1.0, height, device=device, dtype=dtype)
+            else:
+                xs = torch.arange(width, device=device, dtype=dtype)
+                ys = torch.arange(height, device=device, dtype=dtype)
+            gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+            return torch.stack([gx, gy], dim=-1).unsqueeze(0)  # [1, H, W, 2]
+
+        def spatial_expectation2d(input, normalized_coordinates=True):
+            b, c, h, w = input.shape
+            grid = create_meshgrid(
+                h, w, normalized_coordinates, input.device, input.dtype
+            ).reshape(1, 1, h * w, 2)
+            probs = input.reshape(b, c, h * w, 1)
+            return (probs * grid).sum(dim=2)  # [B, C, 2]
+
+        kornia = types.ModuleType("kornia")
+        kutils = types.ModuleType("kornia.utils")
+        kgrid = types.ModuleType("kornia.utils.grid")
+        kgeom = types.ModuleType("kornia.geometry")
+        ksub = types.ModuleType("kornia.geometry.subpix")
+        kdsnt = types.ModuleType("kornia.geometry.subpix.dsnt")
+        kgrid.create_meshgrid = create_meshgrid
+        kutils.grid = kgrid
+        kdsnt.spatial_expectation2d = spatial_expectation2d
+        ksub.dsnt = kdsnt
+        kgeom.subpix = ksub
+        kornia.utils = kutils
+        kornia.geometry = kgeom
+        for name, mod in [
+            ("kornia", kornia),
+            ("kornia.utils", kutils),
+            ("kornia.utils.grid", kgrid),
+            ("kornia.geometry", kgeom),
+            ("kornia.geometry.subpix", ksub),
+            ("kornia.geometry.subpix.dsnt", kdsnt),
+        ]:
+            sys.modules[name] = mod
+
+
+def build_torch_dinov2(img_size=336, depth=12, embed_dim=768, num_heads=12,
+                       num_registers=4, patch=14, seed=0):
+    """A torch ViT-B/14-with-registers whose state_dict uses the dinov2
+    checkpoint naming (patch_embed.proj, blocks.N.attn.qkv, ls1.gamma,
+    register_tokens, ...) and whose forward_features returns
+    {"x_norm_patchtokens": ...} like torch.hub dinov2_vitb14_reg.
+
+    Built locally (no network); weights random. Faithful to the published
+    DINOv2 architecture: pre-norm blocks, LayerScale on both branches,
+    exact-GELU MLP, final LayerNorm, cls + register tokens.
+    """
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    grid = img_size // patch
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(embed_dim, eps=1e-6)
+            self.attn = nn.Module()
+            self.attn.qkv = nn.Linear(embed_dim, 3 * embed_dim)
+            self.attn.proj = nn.Linear(embed_dim, embed_dim)
+            self.ls1 = nn.Module()
+            self.ls1.gamma = nn.Parameter(1e-5 * torch.ones(embed_dim))
+            self.norm2 = nn.LayerNorm(embed_dim, eps=1e-6)
+            self.mlp = nn.Module()
+            self.mlp.fc1 = nn.Linear(embed_dim, 4 * embed_dim)
+            self.mlp.fc2 = nn.Linear(4 * embed_dim, embed_dim)
+            self.ls2 = nn.Module()
+            self.ls2.gamma = nn.Parameter(1e-5 * torch.ones(embed_dim))
+
+        def forward(self, x):
+            b, n, c = x.shape
+            h = num_heads
+            y = self.norm1(x)
+            qkv = self.attn.qkv(y).reshape(b, n, 3, h, c // h).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            att = (q @ k.transpose(-2, -1)) * (c // h) ** -0.5
+            att = att.softmax(dim=-1)
+            y = (att @ v).transpose(1, 2).reshape(b, n, c)
+            x = x + self.ls1.gamma * self.attn.proj(y)
+            y = self.norm2(x)
+            y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y)))
+            return x + self.ls2.gamma * y
+
+    class DinoV2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = nn.Module()
+            self.patch_embed.proj = nn.Conv2d(3, embed_dim, patch, stride=patch)
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, embed_dim))
+            self.register_tokens = nn.Parameter(
+                torch.zeros(1, num_registers, embed_dim)
+            )
+            # stored at the model's native grid for this test (the real
+            # checkpoint stores 37x37 and the converter resamples; that
+            # path is exercised by the converter's own resample test)
+            self.pos_embed = nn.Parameter(
+                0.02 * torch.randn(1, grid * grid + 1, embed_dim)
+            )
+            self.blocks = nn.ModuleList([Block() for _ in range(depth)])
+            self.norm = nn.LayerNorm(embed_dim, eps=1e-6)
+            with torch.no_grad():
+                self.cls_token.normal_(0, 0.02)
+                self.register_tokens.normal_(0, 0.02)
+
+        def forward_features(self, x):
+            b = x.shape[0]
+            x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            x = torch.cat([self.cls_token.expand(b, -1, -1), x], dim=1)
+            x = x + self.pos_embed
+            x = torch.cat(
+                [x[:, :1], self.register_tokens.expand(b, -1, -1), x[:, 1:]],
+                dim=1,
+            )
+            for blk in self.blocks:
+                x = blk(x)
+            x = self.norm(x)
+            return {"x_norm_patchtokens": x[:, 1 + num_registers:]}
+
+        def forward(self, x):
+            return self.forward_features(x)
+
+    return DinoV2().eval()

@@ -122,8 +122,9 @@ class TestCorr:
             delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), dim=-1)
             centroid = t_c.reshape(b * s * n, 1, 1, 2) / 2**i
             pts = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+            # CorrBlock samples with padding_mode="zeros" (blocks.py:358)
             sampled = torch_bilinear_sampler(
-                corrs.reshape(b * s * n, 1, hh, ww2), pts
+                corrs.reshape(b * s * n, 1, hh, ww2), pts, padding_mode="zeros"
             )
             outs.append(sampled.view(b, s, n, -1))
         theirs = torch.cat(outs, dim=-1).numpy()
