@@ -33,6 +33,11 @@ def _common(parser):
     parser.add_argument("--max-sequences", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    parser.add_argument(
+        "--demo-seq-len", type=int, default=None,
+        help="demo: total frames per sequence; when > seqlen the model runs "
+        "in sliding windows of seqlen with pose chaining (windowed mode)",
+    )
 
 
 def _build(args):
@@ -204,8 +209,10 @@ def cmd_demo(args):
 
     cfg = _build(args).replace(dataset="AMD_test")
     model, params = _init_model(cfg, args.seed, args.checkpoint)
+    demo_seq_len = args.demo_seq_len or cfg.seqlen
     dataset = DCADataset(
-        cfg.data_root, crop_size=cfg.img_size, seq_len=cfg.seqlen, use_augs=False
+        cfg.data_root, crop_size=cfg.img_size, seq_len=demo_seq_len,
+        use_augs=False,
     )
     eval_step = build_eval_step(model, cfg)
     rng = np.random.default_rng(cfg.train.seed)
@@ -217,10 +224,38 @@ def cmd_demo(args):
             cfg.min_track_num, backend=args.keypoints, rng=rng,
         )
         gt_cams = make_gt_cameras(sample)
-        out = eval_step(
-            params, jnp.asarray(sample.images)[None], jnp.asarray(queries)[None],
-            gt_cams,
-        )
+        t_total = sample.images.shape[0]
+        if t_total > cfg.seqlen:
+            # long sequence: sliding windows of seqlen with pose chaining
+            # (the reference's intended forward_window mode, reimplemented
+            # in models/windowed.py)
+            from .models.comet import decode_predictions, encode_gt
+            from .models.windowed import windowed_forward
+
+            def apply_fn(win_images, win_queries):
+                return model.apply(params, win_images, win_queries)
+
+            enc, tracks = windowed_forward(
+                apply_fn,
+                jnp.asarray(sample.images)[None],
+                jnp.asarray(queries)[None],
+                cfg.seqlen,
+                jnp.asarray(sample.ratio),
+            )
+            q_abs, t_abs = decode_predictions(cfg, enc, gt_cams)
+            out = {
+                "pred_pose_enc": enc,
+                "gt_pose_enc": encode_gt(cfg, gt_cams),
+                "pred_q": q_abs,
+                "pred_t": t_abs,
+                "pred_track": tracks,
+                "track_score": None,
+            }
+        else:
+            out = eval_step(
+                params, jnp.asarray(sample.images)[None],
+                jnp.asarray(queries)[None], gt_cams,
+            )
         metrics = metric_block(out, gt_cams, sample.seq_name)
         json_path = export_sequence_json(
             args.output_dir, sample.seq_name, out, gt_cams, metrics

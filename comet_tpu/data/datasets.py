@@ -251,22 +251,43 @@ class DCADataset(VideoPoseDataset):
     """DCA_SpaceNet layout: seq_X/000000/{frame,GroundTruth,Mask}
     (kubric_movif_SFM_dataset_DCA.py:102-237)."""
 
+    # The reference assigns `sequences = [...]` four times in a row with
+    # different bounds/exclusions (kubric_movif_SFM_dataset_DCA.py:133-170);
+    # only the LAST assignment is effective: seq number < 1135, minus these.
+    DEFAULT_EXCLUDE = ("seq_1119", "seq_1129", "seq_1138", "seq_1139")
+    DEFAULT_MAX_SEQ_NUM = 1135
+
     def __init__(
         self, data_root, crop_size=512, seq_len=16, use_augs=False, seed=0,
-        exclude: Sequence[str] = (),
+        exclude: Optional[Sequence[str]] = None,
+        max_seq_num: Optional[int] = None,
     ):
-        self._exclude = set(exclude)
+        self._exclude = set(
+            self.DEFAULT_EXCLUDE if exclude is None else exclude
+        )
+        self._max_seq_num = (
+            self.DEFAULT_MAX_SEQ_NUM if max_seq_num is None else max_seq_num
+        )
         super().__init__(
             data_root, crop_size, seq_len, use_augs,
             intrinsics_key="AMD_test", seed=seed,
         )
 
+    def _keep(self, name: str) -> bool:
+        if name in self._exclude:
+            return False
+        if name.startswith("seq_"):
+            try:
+                return int(name.split("_")[1]) < self._max_seq_num
+            except ValueError:
+                return True
+        return True
+
     def _list_sequences(self) -> List[str]:
-        seqs = sorted(
+        return sorted(
             d for d in os.listdir(self.data_root)
-            if os.path.isdir(os.path.join(self.data_root, d)) and d not in self._exclude
+            if os.path.isdir(os.path.join(self.data_root, d)) and self._keep(d)
         )
-        return seqs
 
     def _frame_dirs(self, seq_name: str):
         base = os.path.join(self.data_root, seq_name, "000000")

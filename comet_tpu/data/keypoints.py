@@ -49,6 +49,60 @@ def detect_corners(img_u8: np.ndarray, max_pts: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
+_SP_CACHE: dict = {}
+
+
+def detect_superpoint(
+    img_u8: np.ndarray,
+    max_pts: int,
+    params_path: Optional[str] = None,
+) -> np.ndarray:
+    """JAX SuperPoint detection -> [K, 2] (x, y) float32.
+
+    Runs the flax SuperPoint (models/superpoint.py) on the grayscale
+    frame. With ``params_path`` (msgpack from tools/convert_torch_weights
+    applied to MagicLeap weights) this reproduces the reference's
+    lightglue-SuperPoint seeding (train_eval_func_new_cp5.py:557-570);
+    without weights (this environment has no network for the download) the
+    random-init detector still yields a usable spread of responses, and
+    seed_query_points merges it with the DoG/corner detector before the
+    mask filter, mirroring the reference's SuperPoint+SIFT concat.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.superpoint import SuperPoint
+
+    h, w = img_u8.shape[:2]
+    # pad to a multiple of 8 (cell size)
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    gray = img_u8.astype(np.float32).mean(axis=-1) / 255.0
+    gray = np.pad(gray, ((0, hp - h), (0, wp - w)))
+
+    key = (max_pts, params_path, hp, wp)
+    if key not in _SP_CACHE:
+        model = SuperPoint(max_keypoints=max_pts)
+        if params_path:
+            from ..utils import load_params_msgpack
+
+            params = load_params_msgpack(params_path)
+        else:
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((hp, wp), jnp.float32)
+            )
+        apply = jax.jit(model.apply)
+        _SP_CACHE[key] = (apply, params)
+    apply, params = _SP_CACHE[key]
+
+    out = apply(params, jnp.asarray(gray))
+    kps = np.asarray(out.keypoints)
+    scores = np.asarray(out.scores)
+    kps = kps[scores > 0.0]
+    # drop points in the padding margin
+    keep = (kps[:, 0] < w) & (kps[:, 1] < h)
+    return kps[keep].astype(np.float32)
+
+
 def grid_points(mask: np.ndarray, n_pts: int) -> np.ndarray:
     """Deterministic grid restricted to the mask interior."""
     ys, xs = np.nonzero(mask)
@@ -140,13 +194,24 @@ def seed_query_points(
     min_pts: int = 256,
     backend: str = "corners",
     rng: Optional[np.random.Generator] = None,
+    superpoint_params: Optional[str] = None,
 ) -> np.ndarray:
-    """Full seeding pipeline on a normalized frame-0 image -> [track_num, 2]."""
+    """Full seeding pipeline on a normalized frame-0 image -> [track_num, 2].
+
+    backend "superpoint" concatenates JAX-SuperPoint detections with the
+    DoG/corner detections before mask filtering, mirroring the reference's
+    SuperPoint+SIFT keypoint concat (train_eval_func_new_cp5.py:557-592).
+    """
     rng = rng or np.random.default_rng(0)
     if backend == "grid":
         pts = grid_points(mask, track_num)
     elif backend == "corners":
         pts = detect_corners(denormalize_image(frame0), track_num)
+    elif backend == "superpoint":
+        img_u8 = denormalize_image(frame0)
+        sp = detect_superpoint(img_u8, track_num, superpoint_params)
+        dog = detect_corners(img_u8, track_num)
+        pts = np.concatenate([sp, dog], axis=0) if len(dog) else sp
     else:
         raise ValueError(f"unknown keypoint backend: {backend}")
     return filter_and_pad(pts, mask, min_pts, track_num, rng)

@@ -17,6 +17,15 @@ Out-of-range taps are zero-masked by default (grid_sample
 padding_mode="zeros", the reference CorrBlock's default, blocks.py:358).
 
 Layout is channel-last throughout.
+
+Pallas note: round 1 carried DMA-per-track Pallas kernels for these ops
+(double-buffered HBM->VMEM patch copies). They were removed after profiling
+the compiled XLA formulations on the v5e: with the contract-first design the
+gathers move scalars (µs-scale), while the DMA kernels hit two Mosaic
+constraints that erase their advantage — dynamic slice starts/sizes on the
+sublane dim must be 8-aligned, and a [H, W, 3] input buffer in a kernel is
+lane-padded 3->128 (42x DMA amplification). The remaining Pallas win in this
+model is fused normalization/attention, not data movement (see ops/).
 """
 
 from __future__ import annotations
@@ -35,6 +44,10 @@ def avg_pool_2x2(x: jax.Array) -> jax.Array:
     which cost ~15 ms/fwd on the fine pyramid (measured via jax.profiler).
     """
     h, w = x.shape[-3], x.shape[-2]
+    if h < 2 or w < 2:
+        # smaller than the pooling window: keep as-is so deep pyramids on
+        # tiny inputs (tests/demos) bottom out at 1x1 instead of 0x0
+        return x
     h2, w2 = h // 2, w // 2
     a = x[..., 0 : h2 * 2 : 2, 0 : w2 * 2 : 2, :]
     b = x[..., 0 : h2 * 2 : 2, 1 : w2 * 2 : 2, :]
@@ -203,13 +216,28 @@ def extract_patches_ex(
     rows = topleft[..., 1][..., None] + lin  # [B, N, P]
     cols = topleft[..., 0][..., None] + lin  # [B, N, P]
 
+    csel = (cols[..., None] == jnp.arange(w, dtype=jnp.int32)).astype(
+        images.dtype
+    )  # [B, N, P(x), W] one-hot
+
+    if h <= 64:
+        # small maps (score windows from 31x31 feature patches): the row
+        # gather is also cheaper as a one-hot einsum — the equivalent
+        # gather cost ~15 ms/fwd at [8192*5] indices (jax.profiler)
+        rsel = (rows[..., None] == jnp.arange(h, dtype=jnp.int32)).astype(
+            images.dtype
+        )  # [B, N, P(y), H]
+        t = jnp.einsum(
+            "bnph,bhwc->bnpwc", rsel, images,
+            preferred_element_type=images.dtype,
+        )
+        spec = "bnqw,bnpwc->nbpqc" if track_major else "bnqw,bnpwc->bnpqc"
+        return jnp.einsum(spec, csel, t, preferred_element_type=images.dtype)
+
     imgs_t = images.transpose(0, 3, 1, 2)  # [B, C, H, W], w minor
     sub = jax.vmap(lambda img, r: img[:, r])(
         imgs_t, rows.reshape(b, n * psize)
     ).reshape(b, c, n, psize, w)
 
-    sel = (cols[..., None] == jnp.arange(w, dtype=jnp.int32)).astype(
-        images.dtype
-    )  # [B, N, P(x), W] one-hot
     spec = "bnqw,bcnpw->nbpqc" if track_major else "bnqw,bcnpw->bnpqc"
-    return jnp.einsum(spec, sel, sub, preferred_element_type=images.dtype)
+    return jnp.einsum(spec, csel, sub, preferred_element_type=images.dtype)

@@ -150,17 +150,28 @@ def evaluate(
     print_fn=print,
     print_interval: int = 50,
 ) -> Dict[str, float]:
-    """Sequential eval over a dataset; returns epoch-average metrics."""
+    """Sequential eval over a dataset; returns epoch-average metrics.
+
+    Input decode + keypoint seeding for sequence i+1 runs on a prefetch
+    thread while the device evaluates sequence i (north-star "device-side
+    prefetch"; the reference hides this behind DataLoader workers,
+    train_util.py:866-896)."""
     eval_step = build_eval_step(model, cfg)
     stats = RunningStats()
     rng = np.random.default_rng(cfg.train.seed)
     n = len(dataset) if max_sequences is None else min(len(dataset), max_sequences)
-    for i in range(n):
+
+    def produce(i: int):
         sample = dataset[i]
         queries = seed_query_points(
             sample.images[0], sample.first_mask, cfg.track_num,
             cfg.min_track_num, backend=keypoint_backend, rng=rng,
         )
+        return sample, queries
+
+    from ..data.prefetch import prefetch
+
+    for i, (sample, queries) in enumerate(prefetch(produce, n, depth=2)):
         gt_cams = make_gt_cameras(sample)
         out = eval_step(
             params,

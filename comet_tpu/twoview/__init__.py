@@ -20,12 +20,23 @@ from .estimators import (
 from .triangulation import (
     triangulate_multiview,
     triangulate_tracks,
+    triangulate_tracks_ransac,
     projection_matrices,
     project_points,
     bundle_adjust,
+    global_bundle_adjust,
     triangulate_and_refine,
     BAState,
 )
+from .solvers import (
+    run_5point,
+    estimate_essential_5point_ransac,
+    efficient_pnp,
+    PnPSolution,
+    decompose_homography,
+    select_homography_motion,
+)
+from .preliminary import default_kmat, estimate_preliminary_cameras
 from .align import (
     SimilarityTransform,
     corresponding_points_alignment,

@@ -1,0 +1,139 @@
+"""Windowed long-sequence mode: schedule, codec chaining, stitching.
+
+Parity target: the design intent of E2Epose2.forward_window:269-612
+(windows of window_len, stride len/2, mirror-padded tail, overlap-seeded
+queries, teacher forcing) — the shipped reference path is dead code with
+attribute bugs (SURVEY.md §3.6), so behavior is validated against the uvz
+codec algebra instead: chaining window-relative encodings through an
+anchor must reproduce the global frame-0-relative encodings exactly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from comet_tpu.geometry.cameras import make_camera_set
+from comet_tpu.geometry.codecs import encode_relative_uvz
+from comet_tpu.models.windowed import (
+    TeacherForcingScheduler,
+    compose_uvz_encodings,
+    window_schedule,
+    windowed_forward,
+)
+
+
+def _random_trajectory(rng, t):
+    q = rng.normal(size=(t, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t_uvz = rng.normal(size=(t, 3)).astype(np.float32)
+    t_uvz[:, 2] = np.abs(t_uvz[:, 2]) + 2.0
+    return make_camera_set(
+        q=q,
+        t_xyz=rng.normal(size=(t, 3)).astype(np.float32),
+        t_uvz=t_uvz,
+        focal=np.full((t, 2), 2.0, np.float32),
+        pp=None,
+        ratio=np.float32(0.5),
+    )
+
+
+class TestWindowSchedule:
+    def test_covers_all_frames_stride_half(self):
+        wins = window_schedule(48, 8)
+        assert all(len(w) == 8 for w in wins)
+        covered = set(int(i) for w in wins for i in w)
+        assert covered == set(range(48))
+        assert [int(w[0]) for w in wins] == list(range(0, 41, 4))
+
+    def test_mirror_pads_tail(self):
+        wins = window_schedule(5, 4)
+        for w in wins:
+            assert (w >= 0).all() and (w < 5).all()
+        covered = set(int(i) for w in wins for i in w)
+        assert covered == set(range(5))
+
+    def test_short_sequence_single_window(self):
+        (w,) = window_schedule(3, 8)
+        # mirror-padded up to window length
+        assert len(w) == 8
+        assert list(w[:3]) == [0, 1, 2]
+        assert (w < 3).all()
+
+
+class TestComposeUvz:
+    def test_roundtrip_against_codec(self, rng):
+        """enc(frames rel a) chained on enc(a rel 0) == enc(frames rel 0)."""
+        t, a = 12, 4
+        cams = _random_trajectory(rng, t)
+        enc_global = encode_relative_uvz(cams)  # [T, 8]
+
+        import jax
+
+        sub = jax.tree_util.tree_map(
+            lambda x: x[a:] if x.ndim >= 1 and x.shape[0] == t else x, cams
+        )
+        enc_window = encode_relative_uvz(sub)  # [T-a, 8] rel frame a
+
+        got = compose_uvz_encodings(
+            enc_global[a, :7], enc_window[:, :7], cams.ratio
+        )
+        want = enc_global[a:, :7]
+        # quaternions are sign-ambiguous: compare up to sign
+        sign = np.sign(
+            np.sum(np.asarray(got[:, 3:]) * np.asarray(want[:, 3:]), -1, keepdims=True)
+        )
+        np.testing.assert_allclose(got[:, :3], want[:, :3], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got[:, 3:]) * sign, want[:, 3:], atol=1e-5
+        )
+
+
+class TestWindowedForward:
+    def test_stitches_synthetic_trajectory(self, rng):
+        """A fake model that answers each window with the GT window-relative
+        encodings must chain into the GT global encodings over 3+ windows."""
+        t, wlen, n = 16, 8, 6
+        cams = _random_trajectory(rng, t)
+        enc_global = encode_relative_uvz(cams)
+        images = jnp.zeros((1, t, 8, 8, 3), jnp.float32)
+        queries = jnp.asarray(rng.random((1, n, 2)).astype(np.float32) * 8)
+
+        import jax
+
+        frame_of_window = {}
+
+        def fake_apply(win_images, win_queries):
+            # recover which window this is from the call order
+            idx = fake_apply.windows[fake_apply.calls]
+            fake_apply.calls += 1
+            sub = jax.tree_util.tree_map(
+                lambda x: x[np.asarray(idx)]
+                if x.ndim >= 1 and x.shape[0] == t
+                else x,
+                cams,
+            )
+            enc = encode_relative_uvz(sub)[:, :7]
+            tracks = jnp.broadcast_to(
+                win_queries[:, None], (1, len(idx), n, 2)
+            )
+            return {"pred_pose_enc": enc[None], "pred_track": tracks}
+
+        fake_apply.windows = window_schedule(t, wlen)
+        fake_apply.calls = 0
+
+        enc, trk = windowed_forward(
+            fake_apply, images, queries, wlen, cams.ratio
+        )
+        assert enc.shape == (1, t, 7)
+        assert trk.shape == (1, t, n, 2)
+        assert np.isfinite(np.asarray(enc)).all()
+        got, want = np.asarray(enc[0]), np.asarray(enc_global[:, :7])
+        sign = np.sign(np.sum(got[:, 3:] * want[:, 3:], -1, keepdims=True))
+        np.testing.assert_allclose(got[:, :3], want[:, :3], atol=1e-4)
+        np.testing.assert_allclose(got[:, 3:] * sign, want[:, 3:], atol=1e-4)
+
+    def test_teacher_forcing_scheduler(self):
+        s = TeacherForcingScheduler(1.0, 0.2, 100)
+        assert s.ratio(0) == 1.0
+        assert abs(s.ratio(50) - 0.6) < 1e-9
+        assert s.ratio(100) == 0.2
+        assert s.ratio(500) == 0.2
