@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .cameras import CameraSet
-from .quaternions import quat_invert, quat_multiply
+from .quaternions import quat_invert, quat_multiply, quat_standardize
 
 
 class Intrinsics(NamedTuple):
@@ -54,7 +54,8 @@ def encode_relative_uvz(cams: CameraSet) -> jax.Array:
     ratio = cams.ratio
     s = q.shape[0]
 
-    q_rel = quat_multiply(q, quat_invert(q[0:1]))
+    # pytorch3d quaternion_multiply standardizes (w >= 0); match it
+    q_rel = quat_standardize(quat_multiply(q, quat_invert(q[0:1])))
     du = (t_uvz[:, 0] - t_uvz[0, 0]) * ratio / _UV_NORM
     dv = (t_uvz[:, 1] - t_uvz[0, 1]) * ratio / _UV_NORM
     dd = (t_uvz[:, 2] / t_uvz[0, 2] - 1.0) * ratio
@@ -96,14 +97,16 @@ def decode_relative_uvz(
     ty = (v_abs - intrinsics.cy) * d_abs / intrinsics.fy
     t_abs = jnp.stack([tx, ty, d_abs], axis=-1)
 
-    q_abs = quat_multiply(flat[:, 3:7], jnp.broadcast_to(q_ref, flat[:, 3:7].shape))
+    q_abs = quat_standardize(
+        quat_multiply(flat[:, 3:7], jnp.broadcast_to(q_ref, flat[:, 3:7].shape))
+    )
     batch = enc.shape[:-1]
     return q_abs.reshape(*batch, 4), t_abs.reshape(*batch, 3)
 
 
 def encode_relative_xyz(cams: CameraSet) -> jax.Array:
     """Encode S cameras as frame-0-relative [S, 7] = (ΔT_xyz, quat)."""
-    q_rel = quat_multiply(cams.q, quat_invert(cams.q[0:1]))
+    q_rel = quat_standardize(quat_multiply(cams.q, quat_invert(cams.q[0:1])))
     dt = cams.t_xyz - cams.t_xyz[0:1]
     enc = jnp.concatenate([dt, q_rel], axis=-1)
     identity_row = jnp.asarray([0, 0, 0, 1, 0, 0, 0], dtype=enc.dtype)
@@ -118,6 +121,6 @@ def decode_relative_xyz(
     q_ref = jnp.broadcast_to(ref_cams.q[0], (flat.shape[0], 4))
     t_ref = ref_cams.t_xyz[0]
     t_abs = t_ref[None, :] + flat[:, :3]
-    q_abs = quat_multiply(flat[:, 3:7], q_ref)
+    q_abs = quat_standardize(quat_multiply(flat[:, 3:7], q_ref))
     batch = enc.shape[:-1]
     return q_abs.reshape(*batch, 4), t_abs.reshape(*batch, 3)

@@ -95,22 +95,46 @@ def compute_score_fn(
     sradius: int,
     psize: int,
 ) -> jax.Array:
-    """Std of the 5x5 similarity heatmap around each fine prediction
-    (refine_track.py:174-278). Returns [B, S, N]; frame 0 gets score 1."""
+    """Std of the ssize x ssize similarity heatmap around each fine
+    prediction (refine_track.py:174-278). Returns [B, S, N]; frame 0 gets
+    score 1.
+
+    BUG-EXACT replication of the reference gather (refine_track.py:224-241),
+    kept because best.bin was trained and evaluated with it and the score
+    feeds the camera predictor as track confidence:
+    - ``batch_indices_score`` is arange(B) expanded — NOT arange(B*S*N) —
+      so output element i (in (b, s, n) order) reads the unfolded windows
+      of the patch at FLAT index b (for B=1: always track 0, frame 0),
+      not of its own (b, s, n) patch;
+    - the topleft list is flattened in (b, n, s) order but consumed at
+      (b, s, n) positions, i.e. read transposed.
+    Verified equal to the torch reference by tests/test_torch_parity_full.
+    """
     b, n, s, _, _, c = patch_feat.shape
     ssize = 2 * sradius + 1
 
     floor = jnp.floor(fine_pred).astype(jnp.int32)
     topleft = jnp.clip(floor - sradius, 0, psize - ssize)  # [B, N, S, 2]
+    tl_flat = topleft.reshape(b * n * s, 2)  # reference flatten: (b, n, s)
 
+    i = jnp.arange(b * s * n)
+    src = i // (s * n)  # reference batch_indices_score values (= b)
+    # translate the reference's (b, s, n)-ordered flat patch index into our
+    # (b, n, s)-ordered storage
+    b1 = src // (s * n)
+    rem = src % (s * n)
+    s1 = rem // n
+    n1 = rem % n
+    src_my = b1 * (n * s) + n1 * s + s1
+
+    patches_flat = patch_feat.reshape(b * n * s, psize, psize, c)
+    src_patches = patches_flat[src_my]  # [B*S*N, P, P, C]
     windows = extract_patches_ex(
-        patch_feat.reshape(b * n * s, psize, psize, c),
-        topleft.reshape(b * n * s, 1, 2),
-        ssize,
-    ).reshape(b, n, s, ssize * ssize, c)
+        src_patches, tl_flat[i][:, None, :], ssize
+    ).reshape(b, s, n, ssize * ssize, c)
 
     sim = jnp.einsum(
-        "bnskc,bnc->bnsk", windows, query_feat,
+        "bsnkc,bnc->bsnk", windows, query_feat,
         preferred_element_type=jnp.float32,
     )
     heat = jax.nn.softmax(sim / jnp.sqrt(jnp.asarray(c, sim.dtype)), axis=-1)
@@ -120,10 +144,9 @@ def compute_score_fn(
     gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
     grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [K, 2]
 
-    mean = jnp.einsum("bnsk,kd->bnsd", heat, grid)
-    second = jnp.einsum("bnsk,kd->bnsd", heat, grid**2)
+    mean = jnp.einsum("bsnk,kd->bsnd", heat, grid)
+    second = jnp.einsum("bsnk,kd->bsnd", heat, grid**2)
     var = second - mean**2
-    std = jnp.sqrt(jnp.clip(var, 1e-10, None)).sum(axis=-1)  # [B, N, S]
+    std = jnp.sqrt(jnp.clip(var, 1e-10, None)).sum(axis=-1)  # [B, S, N]
 
-    std = std.transpose(0, 2, 1)  # [B, S, N]
     return jnp.concatenate([jnp.ones_like(std[:, :1]), std[:, 1:]], axis=1)

@@ -65,23 +65,32 @@ def install(monkeypatch=None):
     if "train_eval_func" not in sys.modules:
         import re
 
-        src = open(
-            "/root/reference/comet/models/train_eval_func_new_cp5.py"
-        ).read()
-        m = re.search(r"^class QuaternionCameras.*?(?=^\S)", src, re.M | re.S)
         from minipytorch3d.cameras import get_world_to_view_transform
         from minipytorch3d.rotation_conversions import quaternion_to_matrix
         from minipytorch3d.transform3d import Transform3d
 
-        ns = {
-            "torch": torch,
-            "quaternion_to_matrix": quaternion_to_matrix,
-            "Transform3d": Transform3d,
-            "get_world_to_view_transform": get_world_to_view_transform,
-        }
-        exec(compile(m.group(0), "train_eval_func_new_cp5:QuaternionCameras", "exec"), ns)
+        def extract_qc(path, modname):
+            src = open(path).read()
+            m = re.search(r"^class QuaternionCameras.*?(?=^\S)", src, re.M | re.S)
+            ns = {
+                "torch": torch,
+                "quaternion_to_matrix": quaternion_to_matrix,
+                "Transform3d": Transform3d,
+                "get_world_to_view_transform": get_world_to_view_transform,
+            }
+            exec(compile(m.group(0), f"{modname}:QuaternionCameras", "exec"), ns)
+            return ns["QuaternionCameras"]
+
+        # utils.py imports the OLD class (train_eval_func.py:113, no T_uvz);
+        # the harness uses the new_cp5 variant (with T_uvz/ratio) as gt input
         mod = types.ModuleType("train_eval_func")
-        mod.QuaternionCameras = ns["QuaternionCameras"]
+        mod.QuaternionCameras = extract_qc(
+            "/root/reference/comet/models/train_eval_func.py", "train_eval_func"
+        )
+        mod.QuaternionCamerasCP5 = extract_qc(
+            "/root/reference/comet/models/train_eval_func_new_cp5.py",
+            "train_eval_func_new_cp5",
+        )
         sys.modules["train_eval_func"] = mod
 
     if "kornia" not in sys.modules:
@@ -211,7 +220,9 @@ def build_torch_dinov2(img_size=336, depth=12, embed_dim=768, num_heads=12,
             x = self.norm(x)
             return {"x_norm_patchtokens": x[:, 1 + num_registers:]}
 
-        def forward(self, x):
+        def forward(self, x, is_training=False):
+            # the reference calls backbone(x, is_training=True) and reads
+            # x_norm_patchtokens from the returned dict (dinov2 API)
             return self.forward_features(x)
 
     return DinoV2().eval()
