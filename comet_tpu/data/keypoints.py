@@ -82,14 +82,13 @@ def detect_superpoint(
     key = (max_pts, params_path, hp, wp)
     if key not in _SP_CACHE:
         model = SuperPoint(max_keypoints=max_pts)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((hp, wp), jnp.float32)
+        )
         if params_path:
             from ..utils import load_params_msgpack
 
-            params = load_params_msgpack(params_path)
-        else:
-            params = model.init(
-                jax.random.PRNGKey(0), jnp.zeros((hp, wp), jnp.float32)
-            )
+            params = load_params_msgpack(params_path, params)
         apply = jax.jit(model.apply)
         _SP_CACHE[key] = (apply, params)
     apply, params = _SP_CACHE[key]

@@ -1,2 +1,11 @@
 from .registry import register_model, get_model, list_models, TwoViewPipeline
 from .matchers import mutual_nearest_neighbor, LightGlueMatcher, rotary_encode
+from .sift import extract_sift, dog_keypoints, sift_descriptors, gaussian_blur
+from .extractors import make_superpoint
+from .gt_generation import (
+    IGNORE,
+    UNMATCHED,
+    gt_matches_from_homography,
+    gt_matches_from_pose,
+    warp_homography,
+)

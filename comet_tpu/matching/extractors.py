@@ -1,0 +1,61 @@
+"""Registered feature extractors for the TwoViewPipeline.
+
+Wraps the JAX SuperPoint (models/superpoint.py) and the SIFT extractor
+(matching/sift.py) behind the glue-factory-style registry so pipelines can
+be assembled by name (gluefactory/models/two_view_pipeline.py pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.superpoint import SuperPoint
+from .registry import register_model
+
+
+@register_model(
+    "extractor_superpoint",
+    {"max_keypoints": 512, "detection_threshold": 0.005, "params_path": None,
+     "seed": 0},
+)
+def make_superpoint(
+    max_keypoints: int = 512,
+    detection_threshold: float = 0.005,
+    params_path: Optional[str] = None,
+    seed: int = 0,
+):
+    """SuperPoint extractor factory. Without ``params_path`` (no network in
+    this environment) the detector runs with random init — fine for shape /
+    pipeline tests, use converted MagicLeap weights for real matching."""
+    model = SuperPoint(
+        max_keypoints=max_keypoints, detection_threshold=detection_threshold
+    )
+    state = {}
+
+    def extract(image: jax.Array) -> Dict[str, jax.Array]:
+        gray = image.mean(axis=-1) if image.ndim == 3 else image
+        h, w = gray.shape
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        gray = jnp.pad(gray, ((0, hp - h), (0, wp - w)))
+        key = (hp, wp)
+        if key not in state:
+            params = model.init(jax.random.PRNGKey(seed), gray)
+            if params_path:
+                from ..utils import load_params_msgpack
+
+                params = load_params_msgpack(params_path, params)
+            state[key] = params
+        out = model.apply(state[key], gray)
+        return {
+            "keypoints": out.keypoints,
+            "scores": out.scores,
+            "descriptors": out.descriptors,
+            "valid": (out.scores > 0)
+            & (out.keypoints[:, 0] < w)
+            & (out.keypoints[:, 1] < h),
+        }
+
+    return extract

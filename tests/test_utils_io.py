@@ -1,0 +1,132 @@
+"""utils: JSON export, visualization, msgpack serialization round-trips.
+
+Parity targets: the DCA demo JSON schema (train_eval_func_new_cp5.py:
+704-753), pose-axes rendering (save_first_k_pose_images:383-511), and the
+track-overlay writer (comet/models/visualizer.py:62).
+"""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def _fake_out(s=4, n=6):
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(1, s, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return {
+        "pred_pose_enc": jnp.asarray(rng.normal(size=(1, s, 7)).astype(np.float32)),
+        "gt_pose_enc": jnp.asarray(rng.normal(size=(s, 8)).astype(np.float32)),
+        "pred_q": jnp.asarray(q[0]),
+        "pred_t": jnp.asarray(rng.normal(size=(s, 3)).astype(np.float32)),
+        "pred_track": jnp.asarray(
+            (rng.random((1, s, n, 2)) * 60).astype(np.float32)
+        ),
+        "track_score": jnp.asarray(rng.random((1, s, n)).astype(np.float32)),
+    }
+
+
+def _fake_cams(s=4):
+    from comet_tpu.geometry.cameras import make_camera_set
+
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(s, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t_uvz = rng.normal(size=(s, 3)).astype(np.float32)
+    t_uvz[:, 2] = np.abs(t_uvz[:, 2]) + 2.0
+    return make_camera_set(
+        q=q, t_xyz=rng.normal(size=(s, 3)).astype(np.float32), t_uvz=t_uvz,
+        focal=np.full((s, 2), 2.0, np.float32), pp=None, ratio=np.float32(0.5),
+    )
+
+
+class TestExport:
+    def test_sequence_json_schema(self, tmp_path):
+        from comet_tpu.utils.export import export_sequence_json
+
+        out = _fake_out()
+        cams = _fake_cams()
+        path = export_sequence_json(
+            str(tmp_path), "seq_7", out, cams, {"R_avg": 1.5, "Auc_30": 0.5}
+        )
+        assert os.path.exists(path)
+        data = json.load(open(path))
+        # schema keys of the reference demo export
+        # (train_eval_func_new_cp5.py:719-746)
+        for key in ("sequence_name", "trajectory", "metrics"):
+            assert key in data, data.keys()
+        assert data["sequence_name"] == "seq_7"
+        assert len(data["trajectory"]) == 4
+        f0 = data["trajectory"][0]
+        assert f0["frame_idx"] == 0
+        for side in ("pred", "gt"):
+            assert "R_quat" in f0[side] and len(f0[side]["R_quat"]) == 4
+            assert "T" in f0[side] and len(f0[side]["T"]) == 3
+            assert np.isfinite(np.asarray(f0[side]["R_quat"])).all()
+
+
+class TestVisualize:
+    def test_draw_tracks_and_video(self, tmp_path):
+        from comet_tpu.utils.visualize import (
+            draw_tracks_on_frames,
+            save_track_video,
+        )
+
+        rng = np.random.default_rng(0)
+        frames = (rng.random((3, 48, 48, 3)) * 255).astype(np.uint8)
+        tracks = (rng.random((3, 5, 2)) * 40 + 4).astype(np.float32)
+        drawn = draw_tracks_on_frames(frames, tracks)
+        assert drawn.shape == frames.shape and drawn.dtype == np.uint8
+        assert (drawn != frames).any()  # something was drawn
+        path = save_track_video(frames, tracks, str(tmp_path / "trk.mp4"))
+        assert os.path.exists(path) and os.path.getsize(path) > 0
+
+    def test_pose_axes_rendering(self, tmp_path):
+        from comet_tpu.utils.visualize import (
+            draw_pose_axes,
+            save_pose_axes_images,
+        )
+
+        rng = np.random.default_rng(0)
+        frame = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        r = np.eye(3, dtype=np.float32)
+        t = np.asarray([0.0, 0.0, 40.0], np.float32)
+        k = np.asarray([[50.0, 0, 32], [0, 50.0, 32], [0, 0, 1]], np.float32)
+        img = draw_pose_axes(frame, r, t, k)
+        assert img.shape == frame.shape
+        assert (img != frame).any()
+        out_dir = save_pose_axes_images(
+            frame[None], r[None], t[None], k, str(tmp_path / "axes")
+        )
+        assert os.path.exists(os.path.join(out_dir, "pose_0000.png"))
+
+
+class TestSerialization:
+    def test_msgpack_roundtrip(self, tmp_path):
+        from comet_tpu.utils.serialization import (
+            load_params_msgpack,
+            save_params_msgpack,
+        )
+
+        params = {
+            "params": {
+                "dense": {"kernel": jnp.arange(6.0).reshape(2, 3)},
+                "bias": jnp.zeros((3,)),
+            }
+        }
+        p = str(tmp_path / "w.msgpack")
+        save_params_msgpack(p, params)
+        template = {
+            "params": {
+                "dense": {"kernel": jnp.zeros((2, 3))},
+                "bias": jnp.ones((3,)),
+            }
+        }
+        loaded = load_params_msgpack(p, template)
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["dense"]["kernel"]),
+            np.arange(6.0).reshape(2, 3),
+        )
