@@ -9,3 +9,5 @@ from .gt_generation import (
     gt_matches_from_pose,
     warp_homography,
 )
+from .eval import eval_matches_homography
+from .train import build_matcher_train_step, matcher_nll_loss

@@ -167,6 +167,7 @@ class LightGlueMatcher(nn.Module):
         return {
             "matches0": jnp.where(ok, nn01, -1),
             "scores0": jnp.where(ok, best, 0.0),
+            "assignment": scores,  # soft assignment, used by the NLL loss
             "matchability0": m0,
             "matchability1": m1,
         }

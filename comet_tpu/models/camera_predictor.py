@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..geometry.embeddings import sincos_2d_pos_embed, sincos_time_embed
 from ..ops import resize_bilinear_align_corners
-from .blocks import AttnBlock, CrossAttnBlock, Mlp
+from .blocks import AttnBlock, CrossAttnBlock, FusedLayerNorm, Mlp
 from .vit import DinoViT
 
 _RESNET_MEAN = (0.485, 0.456, 0.406)
@@ -50,10 +50,10 @@ class TrajectoryEncoder(nn.Module):
     @nn.compact
     def __call__(self, traj):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(traj)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        x = FusedLayerNorm(dtype=self.dtype, name="ln1")(x)
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        return FusedLayerNorm(dtype=self.dtype, name="ln2")(x)
 
 
 class ConfidenceAttention(nn.Module):
@@ -168,7 +168,7 @@ class CameraPredictor(nn.Module):
             tokens = jax.lax.stop_gradient(tokens)
 
         tokens = Mlp(dtype=self.dtype, out_features=c, name="input_transform")(tokens)
-        tokens = nn.LayerNorm(
+        tokens = FusedLayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm2",
         )(tokens)

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import gelu
+from .blocks import FusedLayerNorm, gelu
 
 
 class ViTAttention(nn.Module):
@@ -36,10 +36,16 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
+        # accumulate QK in f32 on the MXU, but STORE logits in the compute
+        # dtype: the [B, H, N, N] tensor is the ViT's largest intermediate
+        # (260 MB f32 at 16x12x581², ~15 ms/fwd of softmax-fusion traffic);
+        # under bf16 compute the storage rounding (~4e-3 relative) is the
+        # same order as the surrounding bf16 matmuls. f32 compute keeps
+        # f32 logits, so parity tests are unaffected.
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        ).astype(self.dtype)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -64,10 +70,10 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = ViTAttention(self.num_heads, dtype=self.dtype, name="attn")(y)
         x = x + LayerScale(c, name="ls1")(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
@@ -138,6 +144,6 @@ class DinoViT(nn.Module):
                 self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"blocks_{i}"
             )(x)
 
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         # drop cls + registers -> patch tokens only (x_norm_patchtokens)
         return x[:, 1 + self.num_register_tokens :]

@@ -170,3 +170,67 @@ class TestPipeline:
         assert out["matches0"].shape == (12,)
         assert np.isfinite(np.asarray(out["scores0"])).all()
         assert (np.asarray(out["matches0"])[10:] == -1).all()  # masked
+
+
+class TestEvalAndTrain:
+    def test_eval_matches_homography_metrics(self, rng):
+        h = jnp.asarray(
+            [[1.0, 0, 6.0], [0, 1.0, -2.0], [0, 0, 1.0]], jnp.float32
+        )
+        k0 = jnp.asarray((rng.random((20, 2)) * 60 + 10).astype(np.float32))
+        k1 = jnp.asarray(np.asarray(warp_homography(k0, h)))
+        from comet_tpu.matching import eval_matches_homography
+
+        perfect = jnp.arange(20)
+        m = eval_matches_homography(k0, k1, perfect, h)
+        assert int(m["num_matches"]) == 20
+        assert float(m["prec@3px"]) == 1.0
+        assert float(m["recall"]) == 1.0
+        # corrupt half the matches
+        bad = np.asarray(perfect).copy()
+        bad[:10] = (bad[:10] + 5) % 20
+        m = eval_matches_homography(k0, k1, jnp.asarray(bad), h)
+        assert float(m["prec@3px"]) == pytest.approx(0.5)
+        assert float(m["recall"]) == pytest.approx(0.5)
+
+    def test_lightglue_training_reduces_loss(self, rng):
+        import optax
+
+        from comet_tpu.matching import (
+            build_matcher_train_step,
+            gt_matches_from_homography,
+        )
+
+        n, d = 16, 8
+        matcher = LightGlueMatcher(depth=2, dim=32, num_heads=4)
+
+        def make_pair(seed):
+            r = np.random.default_rng(seed)
+            k0 = (r.random((n, 2)) * 2 - 1).astype(np.float32)
+            k1 = np.roll(k0, 3, axis=0)  # known permutation, same coords
+            desc = r.normal(size=(n, d)).astype(np.float32)
+            gt0 = np.roll(np.arange(n), -3)  # k0[i] matches k1[gt0[i]]
+            return k0, desc, k1, np.roll(desc, 3, axis=0), gt0, np.argsort(gt0)
+
+        pairs = [make_pair(s) for s in range(4)]
+        batch = {
+            "kpts0": jnp.asarray(np.stack([p[0] for p in pairs])),
+            "desc0": jnp.asarray(np.stack([p[1] for p in pairs])),
+            "kpts1": jnp.asarray(np.stack([p[2] for p in pairs])),
+            "desc1": jnp.asarray(np.stack([p[3] for p in pairs])),
+            "gt0": jnp.asarray(np.stack([p[4] for p in pairs])),
+            "gt1": jnp.asarray(np.stack([p[5] for p in pairs])),
+        }
+        params = matcher.init(
+            jax.random.PRNGKey(0), batch["kpts0"][0], batch["desc0"][0],
+            batch["kpts1"][0], batch["desc1"][0],
+        )
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+        step = build_matcher_train_step(matcher, tx)
+        losses = []
+        for _ in range(25):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.7, losses[::6]
