@@ -64,7 +64,7 @@ def _build(args):
     return cfg
 
 
-def _init_model(cfg, seed=0, checkpoint=None):
+def _init_model(cfg, seed=0, checkpoint=None, inference=True):
     import jax
     import jax.numpy as jnp
 
@@ -82,6 +82,11 @@ def _init_model(cfg, seed=0, checkpoint=None):
             params = load_params_msgpack(checkpoint, params)
         else:
             params = restore_checkpoint(checkpoint, params)
+    if inference:
+        # one-time compute-dtype cast (f32 masters are a training concern)
+        from .utils import cast_params_for_inference
+
+        params = cast_params_for_inference(params, cfg.dtype)
     return model, params
 
 
@@ -129,7 +134,8 @@ def cmd_train(args):
     )
 
     cfg = _build(args)
-    model, params = _init_model(cfg, args.seed, args.checkpoint)
+    # keep float32 master params for training
+    model, params = _init_model(cfg, args.seed, args.checkpoint, inference=False)
 
     import numpy as np
 

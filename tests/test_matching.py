@@ -172,6 +172,7 @@ class TestPipeline:
         assert (np.asarray(out["matches0"])[10:] == -1).all()  # masked
 
 
+@pytest.mark.slow  # matcher training loop
 class TestEvalAndTrain:
     def test_eval_matches_homography_metrics(self, rng):
         h = jnp.asarray(

@@ -200,6 +200,7 @@ class TestViT:
         assert y.shape == (2, 4, 32)  # 2x2 grid of 14px patches
 
 
+@pytest.mark.slow  # ViT forwards, ~2 min total
 class TestCameraPredictor:
     def _build(self, use_trajectory=True, use_time=True, use_gapr=True):
         return CameraPredictor(
@@ -245,6 +246,7 @@ class TestCameraPredictor:
         assert preds.pred_pose_enc.shape == (b, s, 7)
 
 
+@pytest.mark.slow  # full-model forward, ~90 s
 class TestCOMET:
     def test_end_to_end_forward_and_loss(self, rng):
         cfg = tiny_config()

@@ -7,6 +7,7 @@ global_BA / iterative_global_BA drivers (comet/utils/triangulation.py:
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
@@ -47,6 +48,8 @@ def _rot_err_deg(r1, r2):
     cos = (np.trace(np.asarray(r1).T @ np.asarray(r2)) - 1) / 2
     return np.degrees(np.arccos(np.clip(cos, -1, 1)))
 
+
+pytestmark = pytest.mark.slow  # dense LM BA, ~45 s on the 1-core host
 
 class TestPreliminaryCameras:
     def test_recovers_relative_rotations(self, rng):

@@ -47,6 +47,7 @@ def _t_dir_err_deg(t1, t2):
     return np.degrees(np.arccos(np.clip(abs(t1 @ t2), -1, 1)))
 
 
+@pytest.mark.slow  # QR-iteration RANSAC, ~20 s
 class TestFivePoint:
     def test_minimal_recovers_essential(self, rng):
         rot, t, _, x1, x2 = _scene(rng, 5)
