@@ -117,10 +117,13 @@ def compute_score_fn(
     topleft = jnp.clip(floor - sradius, 0, psize - ssize)  # [B, N, S, 2]
     tl_flat = topleft.reshape(b * n * s, 2)  # reference flatten: (b, n, s)
 
-    i = jnp.arange(b * s * n)
-    src = i // (s * n)  # reference batch_indices_score values (= b)
-    # translate the reference's (b, s, n)-ordered flat patch index into our
-    # (b, n, s)-ordered storage
+    # reference batch_indices_score values are just the batch id b, so there
+    # are only B DISTINCT source patches — extract all (s, n) windows from
+    # each batch's single source instead of broadcasting it B*S*N times
+    # (the broadcast materialized a 500 MB copy at full size). The flat
+    # patch index b in the reference's (b, s, n) ordering maps to our
+    # (b, n, s)-ordered storage as below.
+    src = jnp.arange(b)
     b1 = src // (s * n)
     rem = src % (s * n)
     s1 = rem // n
@@ -128,9 +131,11 @@ def compute_score_fn(
     src_my = b1 * (n * s) + n1 * s + s1
 
     patches_flat = patch_feat.reshape(b * n * s, psize, psize, c)
-    src_patches = patches_flat[src_my]  # [B*S*N, P, P, C]
+    src_patches = patches_flat[src_my]  # [B, P, P, C]
+    # topleft list consumed at (b, s, n) linear positions = the same linear
+    # block per batch (the reference's transposed read)
     windows = extract_patches_ex(
-        src_patches, tl_flat[i][:, None, :], ssize
+        src_patches, tl_flat.reshape(b, s * n, 2), ssize
     ).reshape(b, s, n, ssize * ssize, c)
 
     sim = jnp.einsum(
