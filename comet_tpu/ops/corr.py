@@ -96,6 +96,7 @@ def _sample_windows_scalar(
     """
     m, h, w = vol.shape
     r = radius
+    k = 2 * r + 1
     x = centroid[..., 0]
     y = centroid[..., 1]
     x0 = jnp.floor(x)
@@ -103,27 +104,44 @@ def _sample_windows_scalar(
     fx = (x - x0).astype(vol.dtype)[:, None, None]
     fy = (y - y0).astype(vol.dtype)[:, None, None]
 
-    ar = jnp.arange(-r, r + 2, dtype=jnp.int32)  # 2r+2 taps
-    rows_raw = y0.astype(jnp.int32)[:, None] + ar  # [M, 2r+2]
-    cols_raw = x0.astype(jnp.int32)[:, None] + ar
-    rows = jnp.clip(rows_raw, 0, h - 1)
-    cols = jnp.clip(cols_raw, 0, w - 1)
+    # GATHER-FREE sampling: fold the shared bilinear fraction into TWO-HOT
+    # row/column selection matrices and contract them against the score map
+    # on the MXU — two batched [K, H]@[H, W] matmuls replace the per-track
+    # gathers (which cost ~1 ms per level*iteration as gather fusions).
+    ar = jnp.arange(-r, r + 1, dtype=jnp.int32)  # K taps
+    ri = y0.astype(jnp.int32)[:, None] + ar  # [M, K] window floor rows
+    ci = x0.astype(jnp.int32)[:, None] + ar
+    hh = jnp.arange(h, dtype=jnp.int32)
+    ww = jnp.arange(w, dtype=jnp.int32)
 
-    def per_map(v, ri, ci):
-        return v[ri][:, ci]  # [2r+2, 2r+2]
-
-    patch = jax.vmap(per_map)(vol, rows, cols)  # [M, 2r+2, 2r+2]
     if padding_mode == "zeros":
-        rmask = ((rows_raw >= 0) & (rows_raw < h)).astype(vol.dtype)
-        cmask = ((cols_raw >= 0) & (cols_raw < w)).astype(vol.dtype)
-        patch = patch * rmask[:, :, None] * cmask[:, None, :]
-    elif padding_mode != "border":
+        # comparisons against the RAW indices: out-of-range taps match no
+        # grid position, so their weight is zero — grid_sample zeros
+        # semantics for free
+        r0, r1, c0, c1 = ri, ri + 1, ci, ci + 1
+    elif padding_mode == "border":
+        r0 = jnp.clip(ri, 0, h - 1)
+        r1 = jnp.clip(ri + 1, 0, h - 1)
+        c0 = jnp.clip(ci, 0, w - 1)
+        c1 = jnp.clip(ci + 1, 0, w - 1)
+    else:
         raise ValueError(f"unknown padding_mode {padding_mode}")
-    top = patch[:, :-1, :-1] * (1 - fx) + patch[:, :-1, 1:] * fx
-    bot = patch[:, 1:, :-1] * (1 - fx) + patch[:, 1:, 1:] * fx
-    out = top * (1 - fy) + bot * fy  # [M, 2r+1 (y), 2r+1 (x)]
+
+    rsel = (
+        (r0[:, :, None] == hh).astype(vol.dtype) * (1 - fy)
+        + (r1[:, :, None] == hh).astype(vol.dtype) * fy
+    )  # [M, K, H]
+    csel = (
+        (c0[:, :, None] == ww).astype(vol.dtype) * (1 - fx)
+        + (c1[:, :, None] == ww).astype(vol.dtype) * fx
+    )  # [M, K, W]
+
+    t = jnp.einsum("mph,mhw->mpw", rsel, vol, preferred_element_type=vol.dtype)
+    out = jnp.einsum(
+        "mqw,mpw->mqp", csel, t, preferred_element_type=vol.dtype
+    )  # [M, K (x), K (y)]
     # reference order: k = ix*(2r+1) + iy (x in the outer loop)
-    return out.transpose(0, 2, 1).reshape(m, (2 * r + 1) ** 2)
+    return out.reshape(m, k * k)
 
 
 def corr_pyramid_sample(
