@@ -4,17 +4,18 @@ The reference's ``CorrBlock`` (comet/models/track_modules/blocks.py:351-430)
 materializes full correlation volumes corr[B,S,N,H,W] = <track_feat, fmap>/√C
 then bilinearly samples a (2r+1)² window around each track.
 
-TPU design: contract FIRST, gather SECOND. The correlation volume is one
+TPU design: contract FIRST, sample SECOND. The correlation volume is one
 batched matmul (MXU-friendly, ~10 GFLOP at full size), after which the
-window sampling gathers *scalars* from [Hl, Wl] score maps instead of
-C-dim feature vectors — ~C× less gather traffic than the
+window sampling works on scalar [Hl, Wl] score maps instead of C-dim
+feature vectors — ~C× less sampling traffic than the
 ``EfficientCorrBlock`` (blocks.py:432-484) gather-then-contract order.
 Because all (2r+1)² window points of one track share a single fractional
-offset, bilinear interpolation is done by gathering one integer-aligned
-(2r+2)² patch per track and blending the four shifted sub-patches with the
-shared (fx, fy) weights — 4 multiply-adds per output instead of 4 gathers.
-Out-of-range taps are zero-masked by default (grid_sample
-padding_mode="zeros", the reference CorrBlock's default, blocks.py:358).
+offset, the bilinear weights fold into TWO-HOT row/column selection
+matrices, and the whole window sample becomes two batched matmuls against
+the score map — no gathers at all (each per-level gather fusion cost ~1 ms
+before this). Out-of-range taps carry zero weight by construction
+(grid_sample padding_mode="zeros", the reference CorrBlock's default,
+blocks.py:358); border mode clamps the tap indices instead.
 
 Layout is channel-last throughout.
 
@@ -89,10 +90,10 @@ def _sample_windows_scalar(
     Returns [M, (2r+1)²] with the reference's channel order (x offset in
     the outer loop). Exactly equals grid_sample-style bilinear sampling at
     centroid + integer offsets: all window points share one fractional
-    offset, so one integer (2r+2)² patch blended by the shared (fx, fy)
-    reproduces each point's 4-neighbour interpolation. padding_mode
-    "zeros" masks out-of-range neighbour taps (grid_sample default — the
-    reference CorrBlock uses this, blocks.py:358); "border" edge-clamps.
+    offset, so each point's 4-neighbour interpolation is expressible as a
+    product of per-row and per-column two-hot weight vectors. padding_mode
+    "zeros" zeroes out-of-range taps (grid_sample default — the reference
+    CorrBlock uses this, blocks.py:358); "border" edge-clamps.
     """
     m, h, w = vol.shape
     r = radius
@@ -162,8 +163,8 @@ def corr_pyramid_sample(
     fmap(sampled window)> / √C, levels concatenated in pyramid order —
     byte-identical semantics to CorrBlock.corr + CorrBlock.sample
     (blocks.py:376-429), including the default zero-padded window sampling
-    (CorrBlock padding_mode="zeros", blocks.py:358). Contraction runs before the gather so the gather
-    moves scalars, not C-vectors (see module docstring).
+    (CorrBlock padding_mode="zeros", blocks.py:358). The contraction runs
+    before the window sampling (see module docstring).
     """
     b, s, n, _ = coords.shape
     c = track_feats.shape[-1]
