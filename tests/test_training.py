@@ -123,3 +123,57 @@ class TestCheckpoints:
         np.testing.assert_array_equal(
             np.asarray(restored["params"]["w"]), np.arange(4, dtype=np.float32)
         )
+
+
+@pytest.mark.slow  # full tiny-model eval over an on-disk fixture, ~1 min
+class TestEvaluateLoop:
+    def test_evaluate_on_fixture(self, tmp_path):
+        """End-to-end evaluate(): fixture decode -> prefetch -> seeding ->
+        jitted eval step -> float64 metric block -> epoch averages
+        (train_or_eval_fn eval branch, train_eval_func_new_cp5.py:514-823)."""
+        import jax
+
+        from comet_tpu.config import CameraConfig, TrackerConfig, get_config
+        from comet_tpu.data import AMDDataset
+        from comet_tpu.data.fixtures import generate_amd_fixture
+        from comet_tpu.models import COMET
+        from comet_tpu.training import evaluate
+
+        root = generate_amd_fixture(
+            str(tmp_path), n_models=1, n_seqs=2, n_frames=8, img_hw=(128, 128)
+        )
+        cfg = get_config("ours").replace(
+            seqlen=4, img_size=64, track_num=8, min_track_num=4,
+            compute_dtype="float32",
+            tracker=TrackerConfig(
+                coarse_stride=4, coarse_down_ratio=2, coarse_corr_levels=2,
+                coarse_corr_radius=2, coarse_latent_dim=16,
+                coarse_hidden_size=32, coarse_depth=2, coarse_iters=1,
+                fine_corr_levels=3, fine_corr_radius=2, fine_latent_dim=8,
+                fine_hidden_size=16, fine_depth=2, fine_iters=1,
+                fine_pradius=7, fine_sradius=2,
+            ),
+            camera=CameraConfig(
+                hidden_size=32, num_heads=2, att_depth=1, trunk_depth=1,
+                down_size=28,
+            ),
+        )
+        model = COMET(cfg)
+        ds = AMDDataset(root, crop_size=cfg.img_size, seq_len=cfg.seqlen,
+                        use_augs=False)
+        import jax.numpy as jnp
+
+        dummy_i = jnp.zeros((1, cfg.seqlen, cfg.img_size, cfg.img_size, 3))
+        dummy_q = jnp.full((1, cfg.track_num, 2), cfg.img_size / 2.0)
+        params = model.init(jax.random.PRNGKey(0), dummy_i, dummy_q)
+
+        metrics = evaluate(
+            model, params, ds, cfg, keypoint_backend="grid",
+            print_fn=lambda *_: None,
+        )
+        # the TO_PLOT_METRICS families must be present and finite
+        for key in ("R_avg", "T_avg", "Auc_30", "X_err", "Y_err", "Z_err"):
+            assert key in metrics, sorted(metrics)
+            assert np.isfinite(metrics[key]), (key, metrics[key])
+        # per-scene AUC entries exist for both fixture sequences
+        assert sum(k.startswith("Auc_scene") for k in metrics) == 2
