@@ -53,6 +53,11 @@ class CameraConfig:
     use_trajectory: bool = True  # 𝕋_P
     use_time: bool = True  # 𝕋_F
     use_gapr: bool = True  # 3-head uv+d vs single xyz head
+    # frozen DINOv2 backbone dimensions (dinov2_vitb14_reg defaults;
+    # shrink only for CI-scale smoke tests / the multichip dryrun)
+    backbone_depth: int = 12
+    backbone_dim: int = 768
+    backbone_heads: int = 12
 
 
 @dataclasses.dataclass(frozen=True)

@@ -80,6 +80,9 @@ class CameraPredictor(nn.Module):
     use_time: bool = True
     use_gapr: bool = True
     freeze_backbone: bool = True
+    backbone_depth: int = 12
+    backbone_dim: int = 768
+    backbone_heads: int = 12
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -161,7 +164,12 @@ class CameraPredictor(nn.Module):
         x = (x - mean) / std  # second normalization, as in the reference
 
         backbone = DinoViT(
-            img_size=self.down_size, dtype=self.dtype, name="backbone"
+            img_size=self.down_size,
+            embed_dim=self.backbone_dim,
+            depth=self.backbone_depth,
+            num_heads=self.backbone_heads,
+            dtype=self.dtype,
+            name="backbone",
         )
         tokens = backbone(x.astype(self.dtype))  # [B*S, P, 768]
         if self.freeze_backbone:

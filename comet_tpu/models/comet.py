@@ -70,9 +70,13 @@ class COMET(nn.Module):
                 dtype=dtype,
                 name="coarse_tracker",
             )
+            psize = 2 * tc.fine_pradius + 1
+            # the fine fnet returns NATIVE-resolution features; its final
+            # upsample to psize is folded into the tracker's correlation
+            # volumes via corr_size (see ops/corr.corr_volume_pyramid_sample)
             fine_fnet = ShallowEncoder(
                 output_dim=tc.fine_latent_dim, stride=1, dtype=dtype,
-                name="fine_fnet",
+                resize_output=False, name="fine_fnet",
             )
             fine_tracker = BaseTracker(
                 stride=1,
@@ -84,6 +88,7 @@ class COMET(nn.Module):
                 depth=tc.fine_depth,
                 fine=True,
                 dtype=dtype,
+                corr_size=(psize, psize),
                 name="fine_tracker",
             )
 
@@ -145,6 +150,9 @@ class COMET(nn.Module):
                 use_trajectory=cfg.camera.use_trajectory,
                 use_time=cfg.camera.use_time,
                 use_gapr=cfg.camera.use_gapr,
+                backbone_depth=cfg.camera.backbone_depth,
+                backbone_dim=cfg.camera.backbone_dim,
+                backbone_heads=cfg.camera.backbone_heads,
                 dtype=dtype,
                 name="camera_predictor",
             )

@@ -61,11 +61,20 @@ class BasicEncoder(nn.Module):
 
 class ShallowEncoder(nn.Module):
     """3-layer CNN for 31x31 fine patches -> output_dim at H/stride
-    (blocks.py:114-196)."""
+    (blocks.py:114-196).
+
+    resize_output=False returns the features at the CNN's native resolution
+    (H//2 after conv1) and skips the final align-corners upsample to
+    H/stride. Callers exploiting the linearity of resize (correlation
+    volumes commute with it, see ops/corr.corr_volume_pyramid_sample) use
+    this to avoid materializing the upsampled feature tensor; the upsample
+    has no parameters, so checkpoints are unaffected.
+    """
 
     output_dim: int = 32
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    resize_output: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -87,4 +96,6 @@ class ShallowEncoder(nn.Module):
         x = x + resize_bilinear_align_corners(tmp, x.shape[-3], x.shape[-2])
 
         x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(x) + x
+        if not self.resize_output:
+            return x
         return resize_bilinear_align_corners(x, h // self.stride, w // self.stride)

@@ -55,14 +55,18 @@ def refine_track(
         psize,
         track_major=True,
     )  # [N, B*S, P, P, 3]
+    # fine_fnet returns features at its NATIVE resolution (16x16 for 31px
+    # patches, resize_output=False); the final upsample to psize is folded
+    # into the tracker's correlation volumes (corr_size) and into the two
+    # small resizes below — never materializing [B*N, S, 31, 31, C]
     patch_feat = fine_fnet(patches.reshape(n * b * s, psize, psize, -1))
-    c_out = patch_feat.shape[-1]
+    hp, wp, c_out = patch_feat.shape[-3:]
 
-    # (N*B*S, P, P, C) -> (B*N, S, P, P, C); for B == 1 the leading
+    # (N*B*S, P', P', C) -> (B*N, S, P', P', C); for B == 1 the leading
     # transpose is a pure bitcast (no data movement).
-    patch_feat_nb = patch_feat.reshape(n, b, s, psize, psize, c_out)
+    patch_feat_nb = patch_feat.reshape(n, b, s, hp, wp, c_out)
     patch_feat_bn = patch_feat_nb.transpose(1, 0, 2, 3, 4, 5).reshape(
-        b * n, s, psize, psize, c_out
+        b * n, s, hp, wp, c_out
     )
 
     # queries relative to the patch top-left (frac offset + pradius)
@@ -80,7 +84,7 @@ def refine_track(
     if compute_score:
         score = compute_score_fn(
             out.query_feats.reshape(b, n, c_out),
-            patch_feat_bn.reshape(b, n, s, psize, psize, c_out),
+            patch_feat_bn.reshape(b, n, s, hp, wp, c_out),
             fine_rel.reshape(b, n, s, 2),
             sradius,
             psize,
@@ -90,7 +94,7 @@ def refine_track(
 
 def compute_score_fn(
     query_feat: jax.Array,  # [B, N, C]
-    patch_feat: jax.Array,  # [B, N, S, P, P, C] (track-major)
+    patch_feat: jax.Array,  # [B, N, S, P', P', C] (track-major, native res)
     fine_pred: jax.Array,  # [B, N, S, 2] relative to patch top-left
     sradius: int,
     psize: int,
@@ -110,7 +114,7 @@ def compute_score_fn(
       (b, s, n) positions, i.e. read transposed.
     Verified equal to the torch reference by tests/test_torch_parity_full.
     """
-    b, n, s, _, _, c = patch_feat.shape
+    b, n, s, hp, wp, c = patch_feat.shape
     ssize = 2 * sradius + 1
 
     floor = jnp.floor(fine_pred).astype(jnp.int32)
@@ -130,8 +134,14 @@ def compute_score_fn(
     n1 = rem % n
     src_my = b1 * (n * s) + n1 * s + s1
 
-    patches_flat = patch_feat.reshape(b * n * s, psize, psize, c)
-    src_patches = patches_flat[src_my]  # [B, P, P, C]
+    patches_flat = patch_feat.reshape(b * n * s, hp, wp, c)
+    src_patches = patches_flat[src_my]  # [B, P', P', C]
+    if (hp, wp) != (psize, psize):
+        # patch features arrive at the fnet's native resolution; upsample
+        # only the B selected source patches (instead of all B*N*S)
+        from ..ops import resize_bilinear_align_corners
+
+        src_patches = resize_bilinear_align_corners(src_patches, psize, psize)
     # topleft list consumed at (b, s, n) linear positions = the same linear
     # block per batch (the reference's transposed read)
     windows = extract_patches_ex(

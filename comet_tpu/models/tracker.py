@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.embeddings import embed_2d_coords, sincos_2d_pos_embed_grid
-from ..ops import build_fmap_pyramid, corr_pyramid_sample, sample_features
+from ..ops import (
+    build_fmap_pyramid,
+    corr_pyramid_sample,
+    corr_volume_pyramid_sample,
+    resize_bilinear_align_corners,
+    sample_features,
+)
 from .blocks import gelu
 from .update_former import EfficientUpdateFormer
 
@@ -59,6 +65,13 @@ class BaseTracker(nn.Module):
     fine: bool = False
     predict_conf: bool = False
     dtype: jnp.dtype = jnp.float32
+    # When set (hh, ww), fmaps arrive at a smaller native resolution and the
+    # final align-corners upsample to corr_size is folded into the scalar
+    # correlation volumes (linearity: <tf, resize(f)> == resize(<tf, f>)),
+    # skipping the [B*N, S, P, P, C] upsampled-feature materialization that
+    # dominated the fine stage's layout-copy time (jax.profiler, round 2).
+    # Coordinates, positional grids and outputs all live in corr_size space.
+    corr_size: Optional[tuple] = None
 
     @nn.compact
     def __call__(
@@ -69,6 +82,8 @@ class BaseTracker(nn.Module):
         down_ratio: int = 1,
     ) -> TrackerOutput:
         b, s, hh, ww, c = fmaps.shape
+        if self.corr_size is not None:
+            hh, ww = self.corr_size
         n = query_points.shape[1]
         tdim = tracker_transformer_dim(
             self.corr_levels, self.corr_radius, self.latent_dim, self.fine
@@ -81,12 +96,23 @@ class BaseTracker(nn.Module):
         coords = jnp.broadcast_to(coords0[:, None], (b, s, n, 2))
 
         # track features initialized from the query-frame features
-        query_feats = sample_features(fmaps[:, 0], coords0)  # [B, N, C]
+        if self.corr_size is not None:
+            # resize ONLY frame 0 for query sampling (16x cheaper than
+            # resizing all frames; bilinear(resize(f), p) must match the
+            # reference exactly, so the query path keeps the real resize)
+            frame0 = resize_bilinear_align_corners(fmaps[:, 0], hh, ww)
+            query_feats = sample_features(frame0, coords0)  # [B, N, C]
+        else:
+            query_feats = sample_features(fmaps[:, 0], coords0)  # [B, N, C]
         track_feats = jnp.broadcast_to(
             query_feats[:, None], (b, s, n, self.latent_dim)
         )
 
-        pyramid = build_fmap_pyramid(fmaps, self.corr_levels)
+        pyramid = (
+            None
+            if self.corr_size is not None
+            else build_fmap_pyramid(fmaps, self.corr_levels)
+        )
 
         # positional embedding grid sampled at the query coords — bilinear
         # sampling of the integer-grid sincos embedding, matching the
@@ -112,9 +138,15 @@ class BaseTracker(nn.Module):
         for _ in range(iters):
             coords = jax.lax.stop_gradient(coords)
 
-            fcorrs = corr_pyramid_sample(
-                pyramid, coords, track_feats, self.corr_radius
-            )  # [B, S, N, L*K]
+            if self.corr_size is not None:
+                fcorrs = corr_volume_pyramid_sample(
+                    fmaps, coords, track_feats, self.corr_radius,
+                    self.corr_levels, out_size=(hh, ww),
+                )  # [B, S, N, L*K]
+            else:
+                fcorrs = corr_pyramid_sample(
+                    pyramid, coords, track_feats, self.corr_radius
+                )  # [B, S, N, L*K]
 
             flows = coords - coords[:, 0:1]  # [B, S, N, 2]
             flows_bn = flows.transpose(0, 2, 1, 3)  # [B, N, S, 2]

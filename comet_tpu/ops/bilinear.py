@@ -71,6 +71,21 @@ def sample_features(fmaps: jax.Array, pts: jax.Array, padding_mode="border") -> 
     return jax.vmap(partial(bilinear_sample, padding_mode=padding_mode))(fmaps, pts)
 
 
+def interp_matrix_align_corners(n_in: int, n_out: int) -> jax.Array:
+    """[n_out, n_in] 1-D align-corners bilinear interpolation matrix."""
+    if n_out == 1:
+        src = jnp.zeros((1,), jnp.float32)
+    else:
+        src = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+    frac = src - i0.astype(jnp.float32)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    m = m.at[jnp.arange(n_out), i0].add(1.0 - frac)
+    m = m.at[jnp.arange(n_out), i1].add(frac)
+    return m
+
+
 def resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Resize [..., H, W, C] to [..., out_h, out_w, C], align_corners=True.
 
@@ -81,21 +96,8 @@ def resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.A
     """
     h, w = x.shape[-3], x.shape[-2]
 
-    def interp_matrix(n_in: int, n_out: int) -> jax.Array:
-        if n_out == 1:
-            src = jnp.zeros((1,), jnp.float32)
-        else:
-            src = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
-        i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
-        i1 = jnp.clip(i0 + 1, 0, n_in - 1)
-        frac = src - i0.astype(jnp.float32)
-        m = jnp.zeros((n_out, n_in), jnp.float32)
-        m = m.at[jnp.arange(n_out), i0].add(1.0 - frac)
-        m = m.at[jnp.arange(n_out), i1].add(frac)
-        return m
-
-    mh = interp_matrix(h, out_h).astype(x.dtype)
-    mw = interp_matrix(w, out_w).astype(x.dtype)
+    mh = interp_matrix_align_corners(h, out_h).astype(x.dtype)
+    mw = interp_matrix_align_corners(w, out_w).astype(x.dtype)
     # [..., H, W, C] -> rows: contract H; cols: contract W
     x = jnp.einsum("oh,...hwc->...owc", mh, x)
     x = jnp.einsum("ow,...hwc->...hoc", mw, x)

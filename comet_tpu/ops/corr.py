@@ -168,24 +168,83 @@ def corr_pyramid_sample(
     """
     b, s, n, _ = coords.shape
     c = track_feats.shape[-1]
-    inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(c, track_feats.dtype))
+    # fold the 1/sqrt(C) into the (tiny) track features instead of scaling the
+    # full correlation volume: the standalone multiply on [B,S,N,H,W] cost
+    # ~5 ms/fwd across both trackers (jax.profiler, round 2)
+    tf = track_feats * (1.0 / jnp.sqrt(jnp.asarray(c, track_feats.dtype)))
 
     outs = []
     for lvl, fmaps in enumerate(pyramid):
         hl, wl = fmaps.shape[2], fmaps.shape[3]
         centroid = coords / (2.0**lvl)  # [B, S, N, 2]
-        vol = (
-            jnp.einsum(
-                "bsnc,bshwc->bsnhw", track_feats, fmaps,
-                preferred_element_type=track_feats.dtype,
-            )
-            * inv_sqrt_c
+        vol = jnp.einsum(
+            "bsnc,bshwc->bsnhw", tf, fmaps,
+            preferred_element_type=track_feats.dtype,
         )
         win = _sample_windows_scalar(
             vol.reshape(b * s * n, hl, wl),
             centroid.reshape(b * s * n, 2),
             radius,
             padding_mode=padding_mode,
+        )
+        outs.append(win.reshape(b, s, n, -1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def corr_volume_pyramid_sample(
+    fmaps: jax.Array,
+    coords: jax.Array,
+    track_feats: jax.Array,
+    radius: int,
+    num_levels: int,
+    out_size: "tuple[int, int] | None" = None,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Correlation sampling with the pyramid built on VOLUMES, not features.
+
+    Correlation, bilinear resize and average pooling are all linear in the
+    feature values, so <tf, pool^l(resize(f))> == pool^l(resize(<tf, f>)).
+    Computing the level-0 correlation volume on the NATIVE feature maps and
+    then resizing/pooling the scalar volumes is mathematically identical to
+    the reference's pool-features-then-correlate (CorrBlock, blocks.py:
+    351-430) but moves ~C x less data: the fine stage's [8192,31,31,32]
+    feature pyramid materialization forced multi-ms relayout copies
+    (jax.profiler, round 2), while the scalar volumes are [8192,31,31].
+
+    fmaps: [B, S, h0, w0, C] native-resolution maps (e.g. the fine fnet's
+        16x16 pre-upsample output); out_size (hh, ww) optionally resizes the
+        level-0 volume (align-corners bilinear — the ShallowEncoder's final
+        upsample moved here). coords live in out_size (or native) space.
+    Returns [B, S, N, num_levels*(2r+1)^2], same semantics as
+    corr_pyramid_sample on a resized-feature pyramid.
+    """
+    b, s, n, _ = coords.shape
+    c = track_feats.shape[-1]
+    tf = track_feats * (1.0 / jnp.sqrt(jnp.asarray(c, track_feats.dtype)))
+
+    vol = jnp.einsum(
+        "bsnc,bshwc->bsnhw", tf, fmaps,
+        preferred_element_type=track_feats.dtype,
+    )
+    h0, w0 = vol.shape[-2:]
+    vol = vol.reshape(b * s * n, h0, w0)
+    if out_size is not None and out_size != (h0, w0):
+        hh, ww = out_size
+        from .bilinear import interp_matrix_align_corners
+
+        mh = interp_matrix_align_corners(h0, hh).astype(vol.dtype)
+        mw = interp_matrix_align_corners(w0, ww).astype(vol.dtype)
+        # scalar-map resize: two matmuls with natural contraction axes
+        vol = jnp.einsum("oh,mhw->mow", mh, vol, preferred_element_type=vol.dtype)
+        vol = jnp.einsum("mhw,ow->mho", vol, mw, preferred_element_type=vol.dtype)
+
+    outs = []
+    for lvl in range(num_levels):
+        if lvl > 0:
+            vol = avg_pool_2x2(vol[..., None])[..., 0]
+        centroid = coords.reshape(b * s * n, 2) / (2.0**lvl)
+        win = _sample_windows_scalar(
+            vol, centroid, radius, padding_mode=padding_mode
         )
         outs.append(win.reshape(b, s, n, -1))
     return jnp.concatenate(outs, axis=-1)
