@@ -23,12 +23,13 @@ import jax.numpy as jnp
 
 
 class FusedLayerNorm(nn.Module):
-    """Drop-in nn.LayerNorm with a Pallas fused kernel on TPU.
+    """Drop-in nn.LayerNorm routed through ops.pallas_norm.fused_layer_norm.
 
     Same parameter tree ("scale"/"bias") and float32-statistics semantics
-    as flax nn.LayerNorm; one read + one write per row instead of XLA's
-    convert+reduce+normalize fusion chain (~13 ms/fwd across the model,
-    measured). Interpret-mode on CPU so tests cover the kernel."""
+    as flax nn.LayerNorm. By default this lowers to the plain XLA reference
+    (measured faster end-to-end once attention is a Pallas kernel — XLA
+    fuses the LN into neighbors); COMET_FUSED_LN=1 switches every instance
+    to the Pallas kernel."""
 
     epsilon: float = 1e-6
     use_scale: bool = True

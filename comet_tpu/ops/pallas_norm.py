@@ -11,11 +11,12 @@ so training gradients are exact XLA (the forward speed is what matters for
 the serving/benchmark path). On CPU the kernel runs in interpret mode so
 tests exercise the same code path.
 
-Measured end-to-end on the v5e: wiring this model-wide is perf-NEUTRAL
-(5.90 -> 5.80 seq/s, within run noise) — the kernel wins in isolation but
-the pallas_call boundary stops XLA from fusing the LN into neighboring
-ops. Kept wired for the cases where the producer/consumer cannot fuse
-anyway; revisit if a profiler trace shows LN fusions reappearing as hot.
+Measured end-to-end on the v5e: with the rest of the model optimized
+(fused Pallas attention, bf16 params), the plain XLA lowering WINS —
+11.68 vs 11.27 seq/s model-wide — because XLA fuses each LN into its
+neighboring ops while a pallas_call is a fusion barrier plus ~10us of
+launch overhead x ~800 call sites/forward. The kernel therefore defaults
+OFF (COMET_FUSED_LN=1 opts back in) and remains covered by tests.
 """
 
 from __future__ import annotations
@@ -97,10 +98,14 @@ def fused_layer_norm(
 
     scale/bias [C] optional (None -> non-affine, matching
     elementwise_affine=False)."""
+    import os
+
     c = x.shape[-1]
     if scale is None:
         scale = jnp.ones((c,), jnp.float32)
     if bias is None:
         bias = jnp.zeros((c,), jnp.float32)
+    if os.environ.get("COMET_FUSED_LN", "0") != "1":
+        return _reference_ln(x, scale, bias, eps)
     flat = x.reshape(-1, c)
     return _ln(flat, scale, bias, eps).reshape(x.shape)
