@@ -313,6 +313,37 @@ def extract_patches_ex(
         return jnp.einsum(spec, csel, t, preferred_element_type=images.dtype)
 
     imgs_t = images.transpose(0, 3, 1, 2)  # [B, C, H, W], w minor
+
+    if w % 32 == 0 and psize <= 32 and w >= 64:
+        # Blocked gather: a psize<=32 window spans at most two consecutive
+        # 32-wide column blocks, so each patch is ONE multi-dim gather slice
+        # [C, psize, 2, 32] — 8x less traffic than full-W rows AND ~60x
+        # fewer slices than a row-at-a-time gather (TPU gather cost is
+        # per-slice-overhead bound: 507k 32-lane slices ran at 15 GB/s,
+        # 253k full-row slices at 173 GB/s; this does B*N slices total).
+        nb = w // 32
+        blk = jnp.clip(topleft[..., 0] // 32, 0, nb - 2)  # [B, N]
+        imgs_b = imgs_t.reshape(b, c, h, nb, 32)
+        y0 = jnp.clip(topleft[..., 1], 0, h - psize)
+        zeros = jnp.zeros_like(blk)
+        starts = jnp.stack([zeros, y0, blk, zeros], axis=-1)  # [B, N, 4]
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2, 3),
+        )
+        sub = jax.vmap(
+            lambda img, st: jax.lax.gather(
+                img, st, dn, slice_sizes=(c, psize, 2, 32), mode="clip"
+            )
+        )(imgs_b, starts).reshape(b, n, c, psize, 64)
+        rel = cols - 32 * blk[..., None]  # [B, N, P] columns within the pair
+        csel = (rel[..., None] == jnp.arange(64, dtype=jnp.int32)).astype(
+            images.dtype
+        )
+        spec = "bnqw,bncpw->nbpqc" if track_major else "bnqw,bncpw->bnpqc"
+        return jnp.einsum(spec, csel, sub, preferred_element_type=images.dtype)
+
     sub = jax.vmap(lambda img, r: img[:, r])(
         imgs_t, rows.reshape(b, n * psize)
     ).reshape(b, c, n, psize, w)

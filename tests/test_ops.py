@@ -146,3 +146,19 @@ class TestPatches:
                 np.testing.assert_array_equal(
                     out[bi, ni], imgs[bi, y0 : y0 + p, x0 : x0 + p]
                 )
+
+    @pytest.mark.parametrize("p", [7, 31])
+    def test_extract_patches_blocked_path(self, rng, p):
+        # w % 32 == 0 and p <= 32 exercises the two-block windowed gather,
+        # including top-lefts in the LAST 32-column block (block clamp)
+        b, h, w, c, n = 1, 96, 96, 2, 8
+        imgs = rng.normal(size=(b, h, w, c)).astype(np.float32)
+        tl = rng.integers(0, h - p, size=(b, n, 2)).astype(np.int32)
+        tl[0, 0] = [w - p, h - p]  # far corner: col block must clamp
+        tl[0, 1] = [0, 0]
+        out = np.asarray(extract_patches(jnp.asarray(imgs), jnp.asarray(tl), p))
+        for ni in range(n):
+            x0, y0 = tl[0, ni]
+            np.testing.assert_array_equal(
+                out[0, ni], imgs[0, y0 : y0 + p, x0 : x0 + p]
+            )
