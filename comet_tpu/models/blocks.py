@@ -89,7 +89,11 @@ class Mlp(nn.Module):
 class MultiHeadAttention(nn.Module):
     """Multi-head attention matching torch nn.MultiheadAttention semantics.
 
-    Separate q/k/v projections (converter splits torch's packed in_proj).
+    The q/k/v projections are stored PACKED ([E, 3E], torch in_proj layout,
+    converted 1:1 from in_proj_weight) so self-attention runs ONE matmul
+    of MXU-friendly width 3E instead of three E-wide slivers — the
+    updateformer's E=384 projections were ~40%-MFU bound on N=E tiles.
+    Cross-attention does a q matmul plus one packed kv matmul.
     Logits accumulate in float32 regardless of compute dtype.
     """
 
@@ -102,9 +106,23 @@ class MultiHeadAttention(nn.Module):
         assert e % self.num_heads == 0
         head_dim = e // self.num_heads
 
-        wq = nn.Dense(e, dtype=self.dtype, name="q_proj")(q)
-        wk = nn.Dense(e, dtype=self.dtype, name="k_proj")(k)
-        wv = nn.Dense(e, dtype=self.dtype, name="v_proj")(v)
+        kernel = self.param(
+            "in_proj_kernel", nn.initializers.lecun_normal(), (e, 3 * e)
+        )
+        bias = self.param("in_proj_bias", nn.initializers.zeros_init(), (3 * e,))
+        kc = kernel.astype(self.dtype)
+        bc = bias.astype(self.dtype)
+        if q is k and k is v:
+            qkv = q.astype(self.dtype) @ kc + bc
+            wq, wk, wv = jnp.split(qkv, 3, axis=-1)
+        else:
+            wq = q.astype(self.dtype) @ kc[:, :e] + bc[:e]
+            if k is v:
+                wkv = k.astype(self.dtype) @ kc[:, e:] + bc[e:]
+                wk, wv = jnp.split(wkv, 2, axis=-1)
+            else:
+                wk = k.astype(self.dtype) @ kc[:, e : 2 * e] + bc[e : 2 * e]
+                wv = v.astype(self.dtype) @ kc[:, 2 * e :] + bc[2 * e :]
 
         def split(x):
             return x.reshape(*x.shape[:-1], self.num_heads, head_dim)

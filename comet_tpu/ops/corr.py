@@ -86,8 +86,11 @@ def _sample_windows_scalar(
 ) -> jax.Array:
     """Bilinear (2r+1)² window sample from scalar maps.
 
-    vol: [M, H, W] per-track score maps; centroid: [M, 2] (x, y) pixels.
-    Returns [M, (2r+1)²] with the reference's channel order (x offset in
+    vol: [..., H, W] per-track score maps; centroid: [..., 2] (x, y) pixels
+    (any number of leading batch dims — keeping the caller's natural
+    [B, S, N, H, W] volume layout avoids a tile-relayout copy that a
+    flatten-to-[M, H, W] reshape forced, ~3 ms/fwd measured).
+    Returns [..., (2r+1)²] with the reference's channel order (x offset in
     the outer loop). Exactly equals grid_sample-style bilinear sampling at
     centroid + integer offsets: all window points share one fractional
     offset, so each point's 4-neighbour interpolation is expressible as a
@@ -95,23 +98,23 @@ def _sample_windows_scalar(
     "zeros" zeroes out-of-range taps (grid_sample default — the reference
     CorrBlock uses this, blocks.py:358); "border" edge-clamps.
     """
-    m, h, w = vol.shape
+    *lead, h, w = vol.shape
     r = radius
     k = 2 * r + 1
     x = centroid[..., 0]
     y = centroid[..., 1]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0).astype(vol.dtype)[:, None, None]
-    fy = (y - y0).astype(vol.dtype)[:, None, None]
+    fx = (x - x0).astype(vol.dtype)[..., None, None]
+    fy = (y - y0).astype(vol.dtype)[..., None, None]
 
     # GATHER-FREE sampling: fold the shared bilinear fraction into TWO-HOT
     # row/column selection matrices and contract them against the score map
     # on the MXU — two batched [K, H]@[H, W] matmuls replace the per-track
     # gathers (which cost ~1 ms per level*iteration as gather fusions).
     ar = jnp.arange(-r, r + 1, dtype=jnp.int32)  # K taps
-    ri = y0.astype(jnp.int32)[:, None] + ar  # [M, K] window floor rows
-    ci = x0.astype(jnp.int32)[:, None] + ar
+    ri = y0.astype(jnp.int32)[..., None] + ar  # [..., K] window floor rows
+    ci = x0.astype(jnp.int32)[..., None] + ar
     hh = jnp.arange(h, dtype=jnp.int32)
     ww = jnp.arange(w, dtype=jnp.int32)
 
@@ -129,20 +132,22 @@ def _sample_windows_scalar(
         raise ValueError(f"unknown padding_mode {padding_mode}")
 
     rsel = (
-        (r0[:, :, None] == hh).astype(vol.dtype) * (1 - fy)
-        + (r1[:, :, None] == hh).astype(vol.dtype) * fy
-    )  # [M, K, H]
+        (r0[..., None] == hh).astype(vol.dtype) * (1 - fy)
+        + (r1[..., None] == hh).astype(vol.dtype) * fy
+    )  # [..., K, H]
     csel = (
-        (c0[:, :, None] == ww).astype(vol.dtype) * (1 - fx)
-        + (c1[:, :, None] == ww).astype(vol.dtype) * fx
-    )  # [M, K, W]
+        (c0[..., None] == ww).astype(vol.dtype) * (1 - fx)
+        + (c1[..., None] == ww).astype(vol.dtype) * fx
+    )  # [..., K, W]
 
-    t = jnp.einsum("mph,mhw->mpw", rsel, vol, preferred_element_type=vol.dtype)
+    t = jnp.einsum(
+        "...ph,...hw->...pw", rsel, vol, preferred_element_type=vol.dtype
+    )
     out = jnp.einsum(
-        "mqw,mpw->mqp", csel, t, preferred_element_type=vol.dtype
-    )  # [M, K (x), K (y)]
+        "...qw,...pw->...qp", csel, t, preferred_element_type=vol.dtype
+    )  # [..., K (x), K (y)]
     # reference order: k = ix*(2r+1) + iy (x in the outer loop)
-    return out.reshape(m, k * k)
+    return out.reshape(*lead, k * k)
 
 
 def corr_pyramid_sample(
@@ -182,12 +187,9 @@ def corr_pyramid_sample(
             preferred_element_type=track_feats.dtype,
         )
         win = _sample_windows_scalar(
-            vol.reshape(b * s * n, hl, wl),
-            centroid.reshape(b * s * n, 2),
-            radius,
-            padding_mode=padding_mode,
+            vol, centroid, radius, padding_mode=padding_mode
         )
-        outs.append(win.reshape(b, s, n, -1))
+        outs.append(win)
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -227,7 +229,6 @@ def corr_volume_pyramid_sample(
         preferred_element_type=track_feats.dtype,
     )
     h0, w0 = vol.shape[-2:]
-    vol = vol.reshape(b * s * n, h0, w0)
     if out_size is not None and out_size != (h0, w0):
         hh, ww = out_size
         from .bilinear import interp_matrix_align_corners
@@ -235,18 +236,18 @@ def corr_volume_pyramid_sample(
         mh = interp_matrix_align_corners(h0, hh).astype(vol.dtype)
         mw = interp_matrix_align_corners(w0, ww).astype(vol.dtype)
         # scalar-map resize: two matmuls with natural contraction axes
-        vol = jnp.einsum("oh,mhw->mow", mh, vol, preferred_element_type=vol.dtype)
-        vol = jnp.einsum("mhw,ow->mho", vol, mw, preferred_element_type=vol.dtype)
+        vol = jnp.einsum("oh,...hw->...ow", mh, vol, preferred_element_type=vol.dtype)
+        vol = jnp.einsum("...hw,ow->...ho", vol, mw, preferred_element_type=vol.dtype)
 
     outs = []
     for lvl in range(num_levels):
         if lvl > 0:
             vol = avg_pool_2x2(vol[..., None])[..., 0]
-        centroid = coords.reshape(b * s * n, 2) / (2.0**lvl)
+        centroid = coords / (2.0**lvl)
         win = _sample_windows_scalar(
             vol, centroid, radius, padding_mode=padding_mode
         )
-        outs.append(win.reshape(b, s, n, -1))
+        outs.append(win)
     return jnp.concatenate(outs, axis=-1)
 
 

@@ -59,20 +59,24 @@ def t_none(w):
 # ---------------------------------------------------------------------------
 
 def _mha(flax_prefix: str, torch_prefix: str) -> Dict:
-    """torch nn.MultiheadAttention -> our MultiHeadAttention (split qkv)."""
-    out = {}
-    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
-        out[f"{flax_prefix}/{name}/kernel"] = (
-            f"{torch_prefix}.in_proj_weight",
-            lambda w, i=i: t_linear(np.split(np.asarray(w), 3, axis=0)[i]),
-        )
-        out[f"{flax_prefix}/{name}/bias"] = (
-            f"{torch_prefix}.in_proj_bias",
-            lambda w, i=i: np.split(np.asarray(w), 3, axis=0)[i],
-        )
-    out[f"{flax_prefix}/out_proj/kernel"] = (f"{torch_prefix}.out_proj.weight", t_linear)
-    out[f"{flax_prefix}/out_proj/bias"] = (f"{torch_prefix}.out_proj.bias", t_none)
-    return out
+    """torch nn.MultiheadAttention -> our MultiHeadAttention.
+
+    Both sides store qkv PACKED in torch's in_proj layout ([3E, E] rows
+    q|k|v), so the kernel converts with a plain transpose."""
+    return {
+        f"{flax_prefix}/in_proj_kernel": (
+            f"{torch_prefix}.in_proj_weight", t_linear
+        ),
+        f"{flax_prefix}/in_proj_bias": (
+            f"{torch_prefix}.in_proj_bias", t_none
+        ),
+        f"{flax_prefix}/out_proj/kernel": (
+            f"{torch_prefix}.out_proj.weight", t_linear
+        ),
+        f"{flax_prefix}/out_proj/bias": (
+            f"{torch_prefix}.out_proj.bias", t_none
+        ),
+    }
 
 
 def _mlp(flax_prefix: str, torch_prefix: str) -> Dict:
