@@ -154,7 +154,13 @@ def _fused_attention_fwd_impl(q, k, v, num_heads: int, scale: float):
         return out[:b] if bp != b else out
 
     # ---- blocked regime ----
-    bq = 256 if lq >= 256 else _round_up(lq, 8)
+    # one whole-sequence query block when it fits VMEM comfortably: fewer,
+    # larger per-head MXU dots (the 24-small-dots-per-program variant at
+    # BQ=256 ran latency-bound at ~3 TFLOP/s on the ViT's 581 tokens)
+    if lq <= 768:
+        bq = _round_up(lq, 8)
+    else:
+        bq = 256
     lqp = _round_up(lq, bq)
     lkp = _round_up(lk, 8)
     if lqp != lq:
