@@ -266,7 +266,51 @@ def cmd_demo(args):
         json_path = export_sequence_json(
             args.output_dir, sample.seq_name, out, gt_cams, metrics
         )
-        print(f"saved {json_path}  R_avg={metrics['R_avg']:.3f}")
+
+        # 3-D scene export (GLB point cloud + camera frusta; parity with
+        # the reference's trimesh/gradio scene viewer, gradio.py:50-231):
+        # triangulate the predicted tracks with the predicted cameras in
+        # crop space (fx*ratio, center = crop/2 — the uv codec's own
+        # convention, utils.py:631-688)
+        from .geometry.quaternions import quat_to_matrix
+        from .twoview.triangulation import (
+            projection_matrices,
+            triangulate_tracks,
+        )
+        from .utils.scene_export import export_glb_scene
+
+        q = jnp.asarray(out["pred_q"][0])  # [S, 4] wxyz
+        t = jnp.asarray(out["pred_t"][0])  # [S, 3]
+        tracks = jnp.asarray(out["pred_track"][0])  # [S, N, 2] crop px
+        ratio = float(np.asarray(sample.ratio))
+        fx = float(np.asarray(gt_cams.focal[0, 0])) * ratio
+        fy = float(np.asarray(gt_cams.focal[0, 1])) * ratio
+        c0 = cfg.img_size / 2.0
+        k_mat = jnp.asarray(
+            [[fx, 0.0, c0], [0.0, fy, c0], [0.0, 0.0, 1.0]], jnp.float32
+        )
+        proj = projection_matrices(q, t, k_mat)
+        mask = jnp.ones(tracks.shape[:2], jnp.float32)
+        pts3d = np.asarray(triangulate_tracks(proj, tracks, mask))
+        # per-point color from the (denormalized) first frame
+        img0 = np.asarray(sample.images[0])
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
+        xy = np.clip(
+            np.asarray(tracks[0]).round().astype(int), 0, cfg.img_size - 1
+        )
+        cols = np.clip(img0[xy[:, 1], xy[:, 0]] * std + mean, 0, 1)
+        # row-convention R (x_cam = x_world @ R + T) -> column-convention
+        # world-to-camera rotation is R^T
+        rs = np.swapaxes(np.asarray(quat_to_matrix(q)), -1, -2)
+        glb_path = os.path.join(
+            args.output_dir, f"{sample.seq_name.replace('/', '_')}_scene.glb"
+        )
+        export_glb_scene(glb_path, pts3d, cols, list(rs), list(np.asarray(t)))
+        print(
+            f"saved {json_path} + {os.path.basename(glb_path)}"
+            f"  R_avg={metrics['R_avg']:.3f}"
+        )
 
 
 def cmd_bench(args):

@@ -178,16 +178,27 @@ def corr_pyramid_sample(
     # ~5 ms/fwd across both trackers (jax.profiler, round 2)
     tf = track_feats * (1.0 / jnp.sqrt(jnp.asarray(c, track_feats.dtype)))
 
+    # ONE volume einsum for the whole pyramid: the per-level dots ran at
+    # ~5% MFU (the tail levels are [N, C] @ [C, 64..1024] slivers with
+    # batched-dot overhead, ~0.6 ms/iteration measured); concatenating the
+    # levels' flattened maps makes it a single [N, C] @ [C, sum(HW)] dot.
+    # The concat is loop-invariant across refinement iterations, so XLA
+    # CSE hoists it out of the unrolled loop.
+    shapes = [(f.shape[2], f.shape[3]) for f in pyramid]
+    flat = jnp.concatenate(
+        [f.reshape(b, s, -1, c) for f in pyramid], axis=2
+    )  # [B, S, sum(Hl*Wl), C]
+    vol_all = jnp.einsum(
+        "bsnc,bspc->bsnp", tf, flat, preferred_element_type=track_feats.dtype
+    )
+
     outs = []
-    for lvl, fmaps in enumerate(pyramid):
-        hl, wl = fmaps.shape[2], fmaps.shape[3]
-        centroid = coords / (2.0**lvl)  # [B, S, N, 2]
-        vol = jnp.einsum(
-            "bsnc,bshwc->bsnhw", tf, fmaps,
-            preferred_element_type=track_feats.dtype,
-        )
+    off = 0
+    for lvl, (hl, wl) in enumerate(shapes):
+        vol = vol_all[..., off : off + hl * wl].reshape(b, s, n, hl, wl)
+        off += hl * wl
         win = _sample_windows_scalar(
-            vol, centroid, radius, padding_mode=padding_mode
+            vol, coords / (2.0**lvl), radius, padding_mode=padding_mode
         )
         outs.append(win)
     return jnp.concatenate(outs, axis=-1)
@@ -224,10 +235,21 @@ def corr_volume_pyramid_sample(
     c = track_feats.shape[-1]
     tf = track_feats * (1.0 / jnp.sqrt(jnp.asarray(c, track_feats.dtype)))
 
-    vol = jnp.einsum(
-        "bsnc,bshwc->bsnhw", tf, fmaps,
-        preferred_element_type=track_feats.dtype,
-    )
+    if n == 1:
+        # the fine stage tracks ONE point per patch: the dot degenerates to
+        # a batched matvec ([1, C] @ [C, HW] x 8192 batch elements, ~1.6 ms
+        # of batched-dot overhead); a fused multiply-reduce over the C=32
+        # lanes is traffic-bound instead
+        vol = (
+            (fmaps * tf[:, :, 0, None, None, :])
+            .sum(-1, dtype=jnp.float32)[:, :, None]
+            .astype(track_feats.dtype)
+        )
+    else:
+        vol = jnp.einsum(
+            "bsnc,bshwc->bsnhw", tf, fmaps,
+            preferred_element_type=track_feats.dtype,
+        )
     h0, w0 = vol.shape[-2:]
     if out_size is not None and out_size != (h0, w0):
         hh, ww = out_size

@@ -130,3 +130,52 @@ class TestSerialization:
             np.asarray(loaded["params"]["dense"]["kernel"]),
             np.arange(6.0).reshape(2, 3),
         )
+
+
+class TestGlbSceneExport:
+    def test_roundtrip_points_and_cameras(self, tmp_path):
+        from comet_tpu.utils.scene_export import (
+            camera_frustum_lines,
+            export_glb_scene,
+            parse_glb,
+        )
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(50, 3)).astype(np.float32)
+        cols = rng.random(size=(50, 3)).astype(np.float32)
+        rs = [np.eye(3), np.diag([1.0, -1.0, -1.0])]
+        ts = [np.zeros(3), np.array([0.1, 0.0, 2.0])]
+        path = str(tmp_path / "scene.glb")
+        export_glb_scene(path, pts, cols, rs, ts)
+
+        gltf, blob = parse_glb(path)
+        assert gltf["asset"]["version"] == "2.0"
+        assert gltf["buffers"][0]["byteLength"] == len(blob)
+        # 1 point mesh + 2 camera meshes
+        assert len(gltf["meshes"]) == 3
+        assert gltf["meshes"][0]["primitives"][0]["mode"] == 0  # POINTS
+        assert gltf["meshes"][1]["primitives"][0]["mode"] == 1  # LINES
+        # positions round-trip exactly through the binary buffer
+        acc = gltf["accessors"][
+            gltf["meshes"][0]["primitives"][0]["attributes"]["POSITION"]
+        ]
+        view = gltf["bufferViews"][acc["bufferView"]]
+        got = np.frombuffer(
+            blob[view["byteOffset"] : view["byteOffset"] + view["byteLength"]],
+            np.float32,
+        ).reshape(-1, 3)
+        np.testing.assert_array_equal(got, pts)
+        # frustum apex is the camera center -R^T T
+        segs = camera_frustum_lines(rs[1], ts[1], scale=0.5)
+        np.testing.assert_allclose(
+            segs[0], (-rs[1].T @ ts[1]).astype(np.float32), atol=1e-6
+        )
+
+    def test_points_only(self, tmp_path):
+        from comet_tpu.utils.scene_export import export_glb_scene, parse_glb
+
+        pts = np.zeros((5, 3), np.float32)
+        path = str(tmp_path / "p.glb")
+        export_glb_scene(path, pts)
+        gltf, _ = parse_glb(path)
+        assert len(gltf["meshes"]) == 1
