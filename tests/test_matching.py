@@ -235,3 +235,38 @@ class TestEvalAndTrain:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.7, losses[::6]
+
+
+class TestHomographyBenchmark:
+    """End-to-end eval pipeline (the glue-factory HPatches loop shape):
+    extractor -> matcher -> metrics + RANSAC H with corner error.
+
+    Thresholds mirror the reference integration test
+    (glue-factory/tests/test_integration.py: num_matches, prec@3px,
+    H_error_ransac) scaled to the synthetic fixture pairs."""
+
+    def test_sift_nn_recovers_homography(self):
+        from comet_tpu.matching.benchmarks import (
+            make_synthetic_pairs,
+            run_homography_benchmark,
+        )
+        from comet_tpu.matching.registry import TwoViewPipeline, get_model
+
+        pairs = make_synthetic_pairs(2, hw=(96, 128), seed=0)
+        pipe = TwoViewPipeline(
+            get_model("extractor_sift", max_keypoints=256),
+            get_model("matcher_nn"),
+        )
+        agg = run_homography_benchmark(pipe, pairs)
+        assert agg["num_matches"] > 40
+        assert agg["prec@3px"] > 0.8
+        assert agg["H_error_ransac"] < 3.0
+        assert agg["H_acc@5px"] == 1.0
+
+    def test_warp_image_identity(self):
+        import jax.numpy as jnp
+        from comet_tpu.matching.benchmarks import warp_image
+
+        img = jnp.arange(48.0).reshape(4, 4, 3)
+        out = warp_image(img, jnp.eye(3))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
