@@ -34,6 +34,11 @@ def _common(parser):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--f32", action="store_true", help="disable bf16 compute")
     parser.add_argument(
+        "--device-preprocess", action="store_true",
+        help="run crop/resize/normalize jitted on device (bilinear fast "
+        "path; default host path is LANCZOS reference-parity)",
+    )
+    parser.add_argument(
         "--demo-seq-len", type=int, default=None,
         help="demo: total frames per sequence; when > seqlen the model runs "
         "in sliding windows of seqlen with pose chaining (windowed mode)",
@@ -99,6 +104,12 @@ def cmd_eval(args):
     dataset = AMDDataset(
         cfg.data_root, crop_size=cfg.img_size, seq_len=cfg.seqlen, use_augs=False
     )
+    if args.device_preprocess:
+        # XLA fast path: host decodes, device crops/resizes/normalizes
+        # (bilinear; the default host path keeps LANCZOS reference parity)
+        from .data.device_pipeline import DevicePreprocessDataset
+
+        dataset = DevicePreprocessDataset(dataset)
     os.makedirs(args.output_dir, exist_ok=True)
     logger = CsvLogger(os.path.join(args.output_dir, "test_results.csv"))
     t0 = time.time()

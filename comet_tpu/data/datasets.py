@@ -150,7 +150,11 @@ class VideoPoseDataset:
     def __getitem__(self, index: int) -> SequenceSample:
         return self.load_sequence(self.seq_names[index])
 
-    def load_sequence(self, seq_name: str) -> SequenceSample:
+    def _load_common(self, seq_name: str):
+        """Decode frames/masks/poses and compute the sequence square crop.
+
+        Shared head of the host (PIL LANCZOS) and device (XLA matmul-resize)
+        preprocessing paths."""
         frames_dir, gts_dir, masks_dir = self._frame_dirs(seq_name)
         fpre, gpre, mpre = self._frame_prefixes()
         image_names = sorted(f for f in os.listdir(frames_dir) if f.startswith(fpre))
@@ -199,6 +203,12 @@ class VideoPoseDataset:
         union = union + np.array([-margin, -margin, margin, margin])
         square = make_bbox_square(union, size_with_margin)
         ratio = self.crop_size / size_with_margin
+        return imgs, masks, t_list, q_list, uvz_list, r_list, names, square, ratio
+
+    def load_sequence(self, seq_name: str) -> SequenceSample:
+        (
+            imgs, masks, t_list, q_list, uvz_list, r_list, names, square, ratio
+        ) = self._load_common(seq_name)
 
         rgb = []
         for img in imgs:
@@ -236,6 +246,28 @@ class VideoPoseDataset:
             image_names=names,
             first_mask=first_mask,
         )
+
+    def load_sequence_raw(self, seq_name: str):
+        """Decode-only variant for the XLA device preprocessing path
+        (data/device_pipeline.py): returns the RAW uint8 frames + frame-0
+        mask + crop square; crop/resize/normalize then run jitted on the
+        accelerator instead of in PIL."""
+        (
+            imgs, masks, t_list, q_list, uvz_list, r_list, names, square, ratio
+        ) = self._load_common(seq_name)
+        frames_u8 = np.stack([np.asarray(im, np.uint8) for im in imgs])
+        return {
+            "frames_u8": frames_u8,  # [S, H, W, 3]
+            "mask0_u8": masks[0],  # [H, W]
+            "square": np.asarray(square, np.float32),  # (x0, y0, x1, y1)
+            "ratio": float(ratio),
+            "t_xyz": np.asarray(t_list, np.float32),
+            "q_wxyz": np.asarray(q_list, np.float32),
+            "t_uvz": np.asarray(uvz_list, np.float32),
+            "r_matrix": np.asarray(r_list, np.float32),
+            "seq_name": seq_name,
+            "image_names": names,
+        }
 
 
 class AMDDataset(VideoPoseDataset):

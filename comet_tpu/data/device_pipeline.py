@@ -1,0 +1,131 @@
+"""XLA-compiled input preprocessing: crop + resize + normalize on device.
+
+The reference (and this repo's parity path, datasets.py) preprocesses on
+the host with PIL: sequence square crop -> LANCZOS resize -> ImageNet
+normalize (kubric_movif_SFM_dataset_YT.py:228-260). On a 1-core host that
+serializes ~50 ms of image work per sequence with the accelerator idle.
+
+This module is the TPU-native fast path: the host only DECODES the frames
+(and computes the mask bbox); the crop + resize + normalization run as one
+jitted graph on the device. The fused crop-resize is expressed as two
+sampling-matrix matmuls (MXU): output row i samples the source at
+``y0 + (i + 0.5) * box / out - 0.5`` (the standard half-pixel resize
+convention, torch ``interpolate(align_corners=False)``), with bilinear
+weights folded into the matrices and out-of-image taps carrying zero
+weight — matching PIL's zero padding for crops that exceed the image.
+
+Bilinear differs from LANCZOS by design: this is the serving/throughput
+path. Eval parity against the reference keeps the host LANCZOS path
+(``DevicePreprocessDataset`` is opt-in via ``--device-preprocess``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .datasets import SequenceSample, VideoPoseDataset
+
+_MEAN = (0.485, 0.456, 0.406)
+_STD = (0.229, 0.224, 0.225)
+
+
+def _sampling_matrix(src_size: int, start, box, out_size: int) -> jax.Array:
+    """[out, src] bilinear crop-resize matrix from traced scalars.
+
+    Out-of-range taps (crop square partially outside the image) match no
+    source pixel and contribute zero — PIL's crop zero-padding."""
+    pos = start + (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
+        box / out_size
+    ) - 0.5
+    f = jnp.floor(pos)
+    w = (pos - f).astype(jnp.float32)
+    i0 = f.astype(jnp.int32)
+    rng = jnp.arange(src_size, dtype=jnp.int32)
+    return (i0[:, None] == rng) * (1.0 - w[:, None]) + (
+        (i0 + 1)[:, None] == rng
+    ) * w[:, None]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def preprocess_frames(
+    frames_u8: jax.Array,  # [S, H, W, 3] uint8
+    square: jax.Array,  # [4] (x0, y0, x1, y1) float crop box
+    crop_size: int,
+) -> jax.Array:
+    """uint8 frames -> [S, crop, crop, 3] float32 ImageNet-normalized."""
+    s, h, w, _ = frames_u8.shape
+    x0, y0, x1, y1 = square[0], square[1], square[2], square[3]
+    my = _sampling_matrix(h, y0, y1 - y0, crop_size)
+    mx = _sampling_matrix(w, x0, x1 - x0, crop_size)
+    img = frames_u8.astype(jnp.float32) / 255.0
+    t = jnp.einsum("oh,shwc->sowc", my, img)
+    out = jnp.einsum("sowc,pw->sopc", t, mx)
+    mean = jnp.asarray(_MEAN, jnp.float32)
+    std = jnp.asarray(_STD, jnp.float32)
+    return (out - mean) / std
+
+
+@partial(jax.jit, static_argnums=(2,))
+def preprocess_mask(
+    mask_u8: jax.Array,  # [H, W] uint8
+    square: jax.Array,
+    crop_size: int,
+) -> jax.Array:
+    """Nearest-neighbor crop-resize of the binary mask -> [crop, crop] bool."""
+    h, w = mask_u8.shape
+    x0, y0, x1, y1 = square[0], square[1], square[2], square[3]
+
+    def nearest(src_size, start, box):
+        pos = start + (jnp.arange(crop_size, dtype=jnp.float32) + 0.5) * (
+            box / crop_size
+        ) - 0.5
+        idx = jnp.round(pos).astype(jnp.int32)
+        rng = jnp.arange(src_size, dtype=jnp.int32)
+        return (idx[:, None] == rng).astype(jnp.float32)
+
+    my = nearest(h, y0, y1 - y0)
+    mx = nearest(w, x0, x1 - x0)
+    m = (mask_u8 > 0).astype(jnp.float32)
+    return (my @ m @ mx.T) > 0.5
+
+
+class DevicePreprocessDataset:
+    """Wrap a VideoPoseDataset so crop/resize/normalize run on device.
+
+    Same SequenceSample output as the host path (images come back as
+    numpy so downstream code is unchanged); decode + bbox stay host-side,
+    everything else is one jitted graph per (image-shape, crop) signature.
+    """
+
+    def __init__(self, base: VideoPoseDataset):
+        self.base = base
+        self.crop_size = base.crop_size
+        self.seq_names = base.seq_names
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, index: int) -> SequenceSample:
+        raw = self.base.load_sequence_raw(self.seq_names[index])
+        square = jnp.asarray(raw["square"])
+        images = preprocess_frames(
+            jnp.asarray(raw["frames_u8"]), square, self.crop_size
+        )
+        first_mask = preprocess_mask(
+            jnp.asarray(raw["mask0_u8"]), square, self.crop_size
+        )
+        return SequenceSample(
+            images=np.asarray(images, np.float32),
+            t_xyz=raw["t_xyz"],
+            q_wxyz=raw["q_wxyz"],
+            t_uvz=raw["t_uvz"],
+            r_matrix=raw["r_matrix"],
+            ratio=raw["ratio"],
+            seq_name=raw["seq_name"],
+            image_names=raw["image_names"],
+            first_mask=np.asarray(first_mask),
+        )

@@ -35,6 +35,7 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def avg_pool_2x2(x: jax.Array) -> jax.Array:
@@ -80,6 +81,55 @@ def _window_offsets(radius: int, dtype=jnp.float32) -> jax.Array:
     return jnp.stack([outer.reshape(-1), inner.reshape(-1)], axis=-1)
 
 
+def _two_hot_selectors(
+    centroid: jax.Array, h: int, w: int, radius: int, padding_mode: str,
+    dtype,
+):
+    """TWO-HOT row/column selection matrices for (2r+1)^2 window sampling.
+
+    GATHER-FREE sampling: all window points of one track share a single
+    fractional offset, so each point's bilinear interpolation is the
+    product of per-row and per-column two-hot weight vectors. Contracted
+    against the score map these replace per-track gathers entirely.
+    Returns rsel [..., K, H], csel [..., K, W]. padding_mode "zeros"
+    compares RAW indices (out-of-range taps match no grid position ->
+    zero weight, grid_sample's default); "border" clamps the taps.
+    """
+    r = radius
+    x = centroid[..., 0]
+    y = centroid[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(dtype)[..., None, None]
+    fy = (y - y0).astype(dtype)[..., None, None]
+
+    ar = jnp.arange(-r, r + 1, dtype=jnp.int32)  # K taps
+    ri = y0.astype(jnp.int32)[..., None] + ar  # [..., K] window floor rows
+    ci = x0.astype(jnp.int32)[..., None] + ar
+    hh = jnp.arange(h, dtype=jnp.int32)
+    ww = jnp.arange(w, dtype=jnp.int32)
+
+    if padding_mode == "zeros":
+        r0, r1, c0, c1 = ri, ri + 1, ci, ci + 1
+    elif padding_mode == "border":
+        r0 = jnp.clip(ri, 0, h - 1)
+        r1 = jnp.clip(ri + 1, 0, h - 1)
+        c0 = jnp.clip(ci, 0, w - 1)
+        c1 = jnp.clip(ci + 1, 0, w - 1)
+    else:
+        raise ValueError(f"unknown padding_mode {padding_mode}")
+
+    rsel = (
+        (r0[..., None] == hh).astype(dtype) * (1 - fy)
+        + (r1[..., None] == hh).astype(dtype) * fy
+    )  # [..., K, H]
+    csel = (
+        (c0[..., None] == ww).astype(dtype) * (1 - fx)
+        + (c1[..., None] == ww).astype(dtype) * fx
+    )  # [..., K, W]
+    return rsel, csel
+
+
 def _sample_windows_scalar(
     vol: jax.Array, centroid: jax.Array, radius: int,
     padding_mode: str = "zeros",
@@ -99,46 +149,8 @@ def _sample_windows_scalar(
     CorrBlock uses this, blocks.py:358); "border" edge-clamps.
     """
     *lead, h, w = vol.shape
-    r = radius
-    k = 2 * r + 1
-    x = centroid[..., 0]
-    y = centroid[..., 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0).astype(vol.dtype)[..., None, None]
-    fy = (y - y0).astype(vol.dtype)[..., None, None]
-
-    # GATHER-FREE sampling: fold the shared bilinear fraction into TWO-HOT
-    # row/column selection matrices and contract them against the score map
-    # on the MXU — two batched [K, H]@[H, W] matmuls replace the per-track
-    # gathers (which cost ~1 ms per level*iteration as gather fusions).
-    ar = jnp.arange(-r, r + 1, dtype=jnp.int32)  # K taps
-    ri = y0.astype(jnp.int32)[..., None] + ar  # [..., K] window floor rows
-    ci = x0.astype(jnp.int32)[..., None] + ar
-    hh = jnp.arange(h, dtype=jnp.int32)
-    ww = jnp.arange(w, dtype=jnp.int32)
-
-    if padding_mode == "zeros":
-        # comparisons against the RAW indices: out-of-range taps match no
-        # grid position, so their weight is zero — grid_sample zeros
-        # semantics for free
-        r0, r1, c0, c1 = ri, ri + 1, ci, ci + 1
-    elif padding_mode == "border":
-        r0 = jnp.clip(ri, 0, h - 1)
-        r1 = jnp.clip(ri + 1, 0, h - 1)
-        c0 = jnp.clip(ci, 0, w - 1)
-        c1 = jnp.clip(ci + 1, 0, w - 1)
-    else:
-        raise ValueError(f"unknown padding_mode {padding_mode}")
-
-    rsel = (
-        (r0[..., None] == hh).astype(vol.dtype) * (1 - fy)
-        + (r1[..., None] == hh).astype(vol.dtype) * fy
-    )  # [..., K, H]
-    csel = (
-        (c0[..., None] == ww).astype(vol.dtype) * (1 - fx)
-        + (c1[..., None] == ww).astype(vol.dtype) * fx
-    )  # [..., K, W]
+    k = 2 * radius + 1
+    rsel, csel = _two_hot_selectors(centroid, h, w, radius, padding_mode, vol.dtype)
 
     t = jnp.einsum(
         "...ph,...hw->...pw", rsel, vol, preferred_element_type=vol.dtype
@@ -252,14 +264,73 @@ def corr_volume_pyramid_sample(
         )
     h0, w0 = vol.shape[-2:]
     if out_size is not None and out_size != (h0, w0):
+        # FOLDED resize+pool: never materialize the resized/pooled volume
+        # pyramid. Each level-l map equals (Ph_l vol Pw_l^T) for STATIC
+        # separable matrices Ph_l = pool^l @ interp (resize and pooling are
+        # linear and separable), so sampling a window from level l is
+        #   out = (rsel_l @ Ph_l) vol (csel_l @ Pw_l)^T
+        # where rsel/csel are the per-track two-hots in LEVEL-l space. The
+        # (rsel @ Ph) fold is one flat [M*K, h_l] @ [h_l, h0] MXU matmul;
+        # the per-iteration resize einsums + pooling chain (~2.5 ms/fwd in
+        # the fine stage, jax.profiler) disappear, and the batched window
+        # slivers shrink from 31/15/7-wide to h0=16-wide operands.
         hh, ww = out_size
-        from .bilinear import interp_matrix_align_corners
 
-        mh = interp_matrix_align_corners(h0, hh).astype(vol.dtype)
-        mw = interp_matrix_align_corners(w0, ww).astype(vol.dtype)
-        # scalar-map resize: two matmuls with natural contraction axes
-        vol = jnp.einsum("oh,...hw->...ow", mh, vol, preferred_element_type=vol.dtype)
-        vol = jnp.einsum("...hw,ow->...ho", vol, mw, preferred_element_type=vol.dtype)
+        def interp_mat(n_in: int, n_out: int) -> np.ndarray:
+            # numpy twin of bilinear.interp_matrix_align_corners (the
+            # matrices must be CONSTANTS, not tracers, inside jit)
+            src = (
+                np.zeros((1,), np.float32)
+                if n_out == 1
+                else np.arange(n_out, dtype=np.float32)
+                * ((n_in - 1) / (n_out - 1))
+            )
+            i0 = np.clip(np.floor(src).astype(np.int32), 0, n_in - 1)
+            i1 = np.clip(i0 + 1, 0, n_in - 1)
+            frac = src - i0
+            m = np.zeros((n_out, n_in), np.float32)
+            np.add.at(m, (np.arange(n_out), i0), 1.0 - frac)
+            np.add.at(m, (np.arange(n_out), i1), frac)
+            return m
+
+        mh = interp_mat(h0, hh)  # [hh, h0]
+        mw = interp_mat(w0, ww)
+
+        def pool_mat(n_in: int) -> np.ndarray:
+            n_out = n_in // 2
+            p = np.zeros((n_out, n_in), np.float32)
+            idx = np.arange(n_out)
+            p[idx, 2 * idx] = 0.5
+            p[idx, 2 * idx + 1] = 0.5
+            return p
+
+        outs = []
+        ph, pw = mh, mw
+        for lvl in range(num_levels):
+            if lvl > 0:
+                ph = pool_mat(ph.shape[0]) @ ph  # [h_l, h0]
+                pw = pool_mat(pw.shape[0]) @ pw
+            rsel, csel = _two_hot_selectors(
+                coords / (2.0**lvl), ph.shape[0], pw.shape[0], radius,
+                padding_mode, vol.dtype,
+            )  # [..., K, h_l] / [..., K, w_l]
+            rs = jnp.einsum(
+                "...ph,hm->...pm", rsel, jnp.asarray(ph, vol.dtype),
+                preferred_element_type=vol.dtype,
+            )  # [..., K, h0]
+            cs = jnp.einsum(
+                "...qw,wm->...qm", csel, jnp.asarray(pw, vol.dtype),
+                preferred_element_type=vol.dtype,
+            )  # [..., K, w0]
+            t = jnp.einsum(
+                "...pm,...mw->...pw", rs, vol, preferred_element_type=vol.dtype
+            )
+            win = jnp.einsum(
+                "...qm,...pm->...qp", cs, t, preferred_element_type=vol.dtype
+            )
+            k = 2 * radius + 1
+            outs.append(win.reshape(*win.shape[:-2], k * k))
+        return jnp.concatenate(outs, axis=-1)
 
     outs = []
     for lvl in range(num_levels):

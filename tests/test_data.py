@@ -117,3 +117,64 @@ class TestKeypoints:
         xi = pts[:, 0].astype(int)
         yi = pts[:, 1].astype(int)
         assert mask[yi, xi].all()
+
+
+class TestDevicePipeline:
+    def test_bilinear_reproduces_linear_images_exactly(self):
+        # bilinear resampling preserves linear functions: a ramp image must
+        # come back as the exact ramp evaluated at the sample positions
+        import jax.numpy as jnp
+        from comet_tpu.data.device_pipeline import preprocess_frames
+
+        h, w, crop = 40, 48, 16
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        ramp = (2.0 * xs + 3.0 * ys)[None, ..., None].repeat(3, axis=-1)
+        frames = np.clip(ramp, 0, 255).astype(np.uint8)
+        # interior crop so no taps leave the image
+        square = jnp.asarray([8.0, 6.0, 8.0 + 24.0, 6.0 + 24.0])
+        out = np.asarray(preprocess_frames(jnp.asarray(frames), square, crop))
+        # undo the normalization
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
+        vals = (out[0, :, :, 0] * std[0] + mean[0]) * 255.0
+        pos_x = 8.0 + (np.arange(crop) + 0.5) * 24.0 / crop - 0.5
+        pos_y = 6.0 + (np.arange(crop) + 0.5) * 24.0 / crop - 0.5
+        want = 2.0 * pos_x[None, :] + 3.0 * pos_y[:, None]
+        np.testing.assert_allclose(vals, want, atol=1e-3)
+
+    def test_out_of_image_crop_pads_zero(self):
+        import jax.numpy as jnp
+        from comet_tpu.data.device_pipeline import preprocess_frames
+
+        frames = np.full((1, 20, 20, 3), 255, np.uint8)
+        square = jnp.asarray([-10.0, -10.0, 10.0, 10.0])
+        out = np.asarray(preprocess_frames(jnp.asarray(frames), square, 8))
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
+        raw = out * std + mean
+        # top-left quadrant of the crop lies outside the image -> zeros
+        assert abs(raw[0, 0, 0, 0]) < 1e-5
+        assert abs(raw[0, 7, 7, 0] - 1.0) < 1e-5
+
+    def test_wrapper_matches_host_schema_and_geometry(self, amd_root):
+        from comet_tpu.data.datasets import AMDDataset
+        from comet_tpu.data.device_pipeline import DevicePreprocessDataset
+
+        host = AMDDataset(amd_root, crop_size=64, seq_len=4)
+        dev = DevicePreprocessDataset(
+            AMDDataset(amd_root, crop_size=64, seq_len=4)
+        )
+        a = host[0]
+        b = dev[0]
+        assert b.images.shape == a.images.shape
+        assert b.first_mask.shape == a.first_mask.shape
+        assert b.ratio == a.ratio
+        np.testing.assert_array_equal(b.q_wxyz, a.q_wxyz)
+        # resampling kernels differ (LANCZOS vs bilinear) but the images
+        # must agree closely in the smooth interior
+        diff = np.abs(a.images - b.images)
+        assert float(np.median(diff)) < 0.2
+        # masks: nearest vs nearest with slightly different convention —
+        # overwhelming agreement required
+        agree = (a.first_mask == b.first_mask).mean()
+        assert agree > 0.95

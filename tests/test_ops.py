@@ -162,3 +162,48 @@ class TestPatches:
             np.testing.assert_array_equal(
                 out[0, ni], imgs[0, y0 : y0 + p, x0 : x0 + p]
             )
+
+
+class TestFoldedResizePoolSampling:
+    @pytest.mark.parametrize("mode", ["zeros", "border"])
+    def test_folded_equals_explicit_resize_pool(self, rng, mode):
+        # corr_volume_pyramid_sample with out_size folds resize+pool into
+        # the selection matrices; it must equal the explicit path: resize
+        # the volume, pool it, sample each level
+        from comet_tpu.ops.corr import (
+            _sample_windows_scalar,
+            avg_pool_2x2,
+            corr_volume_pyramid_sample,
+        )
+        from comet_tpu.ops.bilinear import interp_matrix_align_corners
+
+        b, s, n, c, h0, w0 = 1, 2, 6, 8, 16, 16
+        hh, ww, radius, levels = 31, 31, 3, 3
+        fmaps = jnp.asarray(rng.normal(size=(b, s, h0, w0, c)).astype(np.float32))
+        tfeat = jnp.asarray(rng.normal(size=(b, s, n, c)).astype(np.float32))
+        coords = jnp.asarray(
+            (rng.random(size=(b, s, n, 2)) * (hh + 6) - 3).astype(np.float32)
+        )
+
+        got = corr_volume_pyramid_sample(
+            fmaps, coords, tfeat, radius, levels, out_size=(hh, ww),
+            padding_mode=mode,
+        )
+
+        tf = tfeat / np.sqrt(c)
+        vol = jnp.einsum("bsnc,bshwc->bsnhw", tf, fmaps)
+        mh = interp_matrix_align_corners(h0, hh)
+        mw = interp_matrix_align_corners(w0, ww)
+        vol = jnp.einsum("oh,...hw->...ow", mh, vol)
+        vol = jnp.einsum("...hw,ow->...ho", vol, mw)
+        outs = []
+        for lvl in range(levels):
+            if lvl:
+                vol = avg_pool_2x2(vol[..., None])[..., 0]
+            outs.append(
+                _sample_windows_scalar(vol, coords / (2.0**lvl), radius, mode)
+            )
+        want = jnp.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4
+        )
