@@ -25,8 +25,6 @@ import jax.numpy as jnp
 
 from ..geometry.embeddings import embed_2d_coords, sincos_2d_pos_embed_grid
 from ..ops import (
-    build_fmap_pyramid,
-    corr_pyramid_sample,
     corr_volume_pyramid_sample,
     resize_bilinear_align_corners,
     sample_features,
@@ -108,11 +106,10 @@ class BaseTracker(nn.Module):
             query_feats[:, None], (b, s, n, self.latent_dim)
         )
 
-        pyramid = (
-            None
-            if self.corr_size is not None
-            else build_fmap_pyramid(fmaps, self.corr_levels)
-        )
+        # both coarse and fine branches sample VOLUME pyramids through
+        # statically-folded pool(+resize) selection matrices — linearity:
+        # pool(<tf, f>) == <tf, pool(f)> — so no feature pyramid and no
+        # per-iteration pooled volumes materialize (ops/corr.py)
 
         # positional embedding grid sampled at the query coords — bilinear
         # sampling of the integer-grid sincos embedding, matching the
@@ -138,15 +135,11 @@ class BaseTracker(nn.Module):
         for _ in range(iters):
             coords = jax.lax.stop_gradient(coords)
 
-            if self.corr_size is not None:
-                fcorrs = corr_volume_pyramid_sample(
-                    fmaps, coords, track_feats, self.corr_radius,
-                    self.corr_levels, out_size=(hh, ww),
-                )  # [B, S, N, L*K]
-            else:
-                fcorrs = corr_pyramid_sample(
-                    pyramid, coords, track_feats, self.corr_radius
-                )  # [B, S, N, L*K]
+            fcorrs = corr_volume_pyramid_sample(
+                fmaps, coords, track_feats, self.corr_radius,
+                self.corr_levels,
+                out_size=(hh, ww) if self.corr_size is not None else None,
+            )  # [B, S, N, L*K]
 
             flows = coords - coords[:, 0:1]  # [B, S, N, 2]
             flows_bn = flows.transpose(0, 2, 1, 3)  # [B, N, S, 2]

@@ -263,57 +263,63 @@ def corr_volume_pyramid_sample(
             preferred_element_type=track_feats.dtype,
         )
     h0, w0 = vol.shape[-2:]
-    if out_size is not None and out_size != (h0, w0):
-        # FOLDED resize+pool: never materialize the resized/pooled volume
-        # pyramid. Each level-l map equals (Ph_l vol Pw_l^T) for STATIC
-        # separable matrices Ph_l = pool^l @ interp (resize and pooling are
-        # linear and separable), so sampling a window from level l is
-        #   out = (rsel_l @ Ph_l) vol (csel_l @ Pw_l)^T
-        # where rsel/csel are the per-track two-hots in LEVEL-l space. The
-        # (rsel @ Ph) fold is one flat [M*K, h_l] @ [h_l, h0] MXU matmul;
-        # the per-iteration resize einsums + pooling chain (~2.5 ms/fwd in
-        # the fine stage, jax.profiler) disappear, and the batched window
-        # slivers shrink from 31/15/7-wide to h0=16-wide operands.
-        hh, ww = out_size
+    # FOLDED resize+pool: never materialize the resized/pooled volume
+    # pyramid. Each level-l map equals (Ph_l vol Pw_l^T) for STATIC
+    # separable matrices Ph_l = pool^l @ interp (resize and pooling are
+    # linear and separable), so sampling a window from level l is
+    #   out = (rsel_l @ Ph_l) vol (csel_l @ Pw_l)^T
+    # where rsel/csel are the per-track two-hots in LEVEL-l space. The
+    # (rsel @ Ph) fold is one flat [M*K, h_l] @ [h_l, h0] MXU matmul;
+    # the per-iteration resize einsums + pooling chain (~2.5 ms/fwd in
+    # the fine stage, jax.profiler) disappear, and the batched window
+    # slivers work on h0-wide operands. Level 0 (identity matrices) takes
+    # the plain two-hot path.
+    hh, ww = out_size if out_size is not None else (h0, w0)
 
-        def interp_mat(n_in: int, n_out: int) -> np.ndarray:
-            # numpy twin of bilinear.interp_matrix_align_corners (the
-            # matrices must be CONSTANTS, not tracers, inside jit)
-            src = (
-                np.zeros((1,), np.float32)
-                if n_out == 1
-                else np.arange(n_out, dtype=np.float32)
-                * ((n_in - 1) / (n_out - 1))
-            )
-            i0 = np.clip(np.floor(src).astype(np.int32), 0, n_in - 1)
-            i1 = np.clip(i0 + 1, 0, n_in - 1)
-            frac = src - i0
-            m = np.zeros((n_out, n_in), np.float32)
-            np.add.at(m, (np.arange(n_out), i0), 1.0 - frac)
-            np.add.at(m, (np.arange(n_out), i1), frac)
-            return m
+    def interp_mat(n_in: int, n_out: int) -> np.ndarray:
+        # numpy twin of bilinear.interp_matrix_align_corners (the
+        # matrices must be CONSTANTS, not tracers, inside jit)
+        if n_in == n_out:
+            return np.eye(n_in, dtype=np.float32)
+        src = (
+            np.zeros((1,), np.float32)
+            if n_out == 1
+            else np.arange(n_out, dtype=np.float32)
+            * ((n_in - 1) / (n_out - 1))
+        )
+        i0 = np.clip(np.floor(src).astype(np.int32), 0, n_in - 1)
+        i1 = np.clip(i0 + 1, 0, n_in - 1)
+        frac = src - i0
+        m = np.zeros((n_out, n_in), np.float32)
+        np.add.at(m, (np.arange(n_out), i0), 1.0 - frac)
+        np.add.at(m, (np.arange(n_out), i1), frac)
+        return m
 
-        mh = interp_mat(h0, hh)  # [hh, h0]
-        mw = interp_mat(w0, ww)
+    def pool_mat(n_in: int) -> np.ndarray:
+        n_out = n_in // 2
+        p = np.zeros((n_out, n_in), np.float32)
+        idx = np.arange(n_out)
+        p[idx, 2 * idx] = 0.5
+        p[idx, 2 * idx + 1] = 0.5
+        return p
 
-        def pool_mat(n_in: int) -> np.ndarray:
-            n_out = n_in // 2
-            p = np.zeros((n_out, n_in), np.float32)
-            idx = np.arange(n_out)
-            p[idx, 2 * idx] = 0.5
-            p[idx, 2 * idx + 1] = 0.5
-            return p
-
-        outs = []
-        ph, pw = mh, mw
-        for lvl in range(num_levels):
-            if lvl > 0:
-                ph = pool_mat(ph.shape[0]) @ ph  # [h_l, h0]
-                pw = pool_mat(pw.shape[0]) @ pw
-            rsel, csel = _two_hot_selectors(
-                coords / (2.0**lvl), ph.shape[0], pw.shape[0], radius,
-                padding_mode, vol.dtype,
-            )  # [..., K, h_l] / [..., K, w_l]
+    k = 2 * radius + 1
+    outs = []
+    ph, pw = interp_mat(h0, hh), interp_mat(w0, ww)
+    for lvl in range(num_levels):
+        if lvl > 0 and ph.shape[0] >= 2 and pw.shape[0] >= 2:
+            # (when either dim is already 1, keep the level as-is — the
+            # avg_pool_2x2 smaller-than-window semantics)
+            ph = pool_mat(ph.shape[0]) @ ph  # [h_l, h0]
+            pw = pool_mat(pw.shape[0]) @ pw
+        identity = ph.shape[0] == h0 and np.allclose(ph, np.eye(h0))
+        rsel, csel = _two_hot_selectors(
+            coords / (2.0**lvl), ph.shape[0], pw.shape[0], radius,
+            padding_mode, vol.dtype,
+        )  # [..., K, h_l] / [..., K, w_l]
+        if identity:
+            rs, cs = rsel, csel
+        else:
             rs = jnp.einsum(
                 "...ph,hm->...pm", rsel, jnp.asarray(ph, vol.dtype),
                 preferred_element_type=vol.dtype,
@@ -322,25 +328,13 @@ def corr_volume_pyramid_sample(
                 "...qw,wm->...qm", csel, jnp.asarray(pw, vol.dtype),
                 preferred_element_type=vol.dtype,
             )  # [..., K, w0]
-            t = jnp.einsum(
-                "...pm,...mw->...pw", rs, vol, preferred_element_type=vol.dtype
-            )
-            win = jnp.einsum(
-                "...qm,...pm->...qp", cs, t, preferred_element_type=vol.dtype
-            )
-            k = 2 * radius + 1
-            outs.append(win.reshape(*win.shape[:-2], k * k))
-        return jnp.concatenate(outs, axis=-1)
-
-    outs = []
-    for lvl in range(num_levels):
-        if lvl > 0:
-            vol = avg_pool_2x2(vol[..., None])[..., 0]
-        centroid = coords / (2.0**lvl)
-        win = _sample_windows_scalar(
-            vol, centroid, radius, padding_mode=padding_mode
+        t = jnp.einsum(
+            "...pm,...mw->...pw", rs, vol, preferred_element_type=vol.dtype
         )
-        outs.append(win)
+        win = jnp.einsum(
+            "...qm,...pm->...qp", cs, t, preferred_element_type=vol.dtype
+        )
+        outs.append(win.reshape(*win.shape[:-2], k * k))
     return jnp.concatenate(outs, axis=-1)
 
 
