@@ -204,6 +204,11 @@ def cmd_train(args):
                 print(stats.status_string(i, steps_per_epoch, "train"))
 
         logger.log(epoch, stats.averages())
+        if epoch > 0:
+            # per-metric training curves (VizStats plot_stats equivalent)
+            from .training.stats import plot_metrics_png
+
+            plot_metrics_png(logger.path)
         if (epoch + 1) % cfg.train.ckpt_interval == 0:
             save_checkpoint(ckpt_dir, epoch, {"params": params, "opt": opt_state})
         if (epoch + 1) % cfg.train.eval_interval == 0:

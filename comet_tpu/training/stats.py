@@ -146,3 +146,49 @@ class TrainingMonitor:
             ) as f:
                 json.dump(payload, f, indent=2)
         return anomalous
+
+
+def plot_metrics_png(csv_path: str, out_path: str = None) -> str:
+    """Render the CsvLogger history as a grid of per-metric curves.
+
+    The matplotlib stand-in for the reference's VizStats plotting
+    (pytorch3d implicitron Stats.plot_stats + visdom live plots,
+    train_util.py:1914-2037): one small subplot per logged metric over
+    epochs, written as a PNG next to the CSV.
+    """
+    import csv as _csv
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(csv_path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    if not rows:
+        raise ValueError(f"no rows in {csv_path}")
+    keys = [k for k in rows[0] if k != "epoch"]
+    series = {
+        k: [(int(r["epoch"]), float(r[k])) for r in rows if r.get(k) not in (None, "")]
+        for k in keys
+    }
+    series = {k: v for k, v in series.items() if v}
+
+    n = len(series)
+    cols = 4
+    nrows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(
+        nrows, cols, figsize=(3.2 * cols, 2.2 * nrows), squeeze=False
+    )
+    for ax in axes.flat[n:]:
+        ax.axis("off")
+    for ax, (k, pts) in zip(axes.flat, sorted(series.items())):
+        xs, ys = zip(*pts)
+        ax.plot(xs, ys, lw=1.2)
+        ax.set_title(k, fontsize=8)
+        ax.tick_params(labelsize=6)
+    fig.tight_layout()
+    out_path = out_path or os.path.splitext(csv_path)[0] + ".png"
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path

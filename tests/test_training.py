@@ -177,3 +177,16 @@ class TestEvaluateLoop:
             assert np.isfinite(metrics[key]), (key, metrics[key])
         # per-scene AUC entries exist for both fixture sequences
         assert sum(k.startswith("Auc_scene") for k in metrics) == 2
+
+
+def test_plot_metrics_png(tmp_path):
+    from comet_tpu.training.stats import CsvLogger, plot_metrics_png
+
+    path = str(tmp_path / "r.csv")
+    logger = CsvLogger(path, fieldnames=["loss", "R_avg"])
+    for e in range(4):
+        logger.log(e, {"loss": 1.0 / (e + 1), "R_avg": 10.0 - e})
+    png = plot_metrics_png(path)
+    import os
+
+    assert os.path.exists(png) and os.path.getsize(png) > 1000
