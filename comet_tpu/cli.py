@@ -145,6 +145,10 @@ def cmd_train(args):
     )
 
     cfg = _build(args)
+    if args.epochs:
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
     # keep float32 master params for training
     model, params = _init_model(cfg, args.seed, args.checkpoint, inference=False)
 
