@@ -182,6 +182,11 @@ def corr_pyramid_sample(
     (blocks.py:376-429), including the default zero-padded window sampling
     (CorrBlock padding_mode="zeros", blocks.py:358). The contraction runs
     before the window sampling (see module docstring).
+
+    NOTE: the model's trackers use corr_volume_pyramid_sample (identical by
+    linearity, with pooling folded into static selection matrices); this
+    feature-pyramid variant is kept as the directly torch-verified
+    semantic reference (tests/test_ops.py) and API-parity surface.
     """
     b, s, n, _ = coords.shape
     c = track_feats.shape[-1]
