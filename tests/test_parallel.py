@@ -74,12 +74,19 @@ class TestDataParallel:
         )
 
     def test_params_stay_replicated_through_train_step(self, rng):
+        # NOTE: 2-device mesh on purpose. XLA CPU's in-process collectives
+        # abort the whole process (rendezvous.cc hardcoded 40 s termination
+        # timeout, no flag) when all 8 simulated device threads can't reach
+        # the collective in time — on this 1-core host the full fwd+bwd
+        # step per shard makes that a coin flip. The replication/grad-sync
+        # property is device-count-agnostic; the cheaper forward and
+        # collective tests below keep the full 8-device mesh.
         from comet_tpu.geometry.cameras import CameraSet
         from comet_tpu.training.loop import build_train_step
         from comet_tpu.training.optim import build_optimizer
 
         model, cfg = _tiny_model()
-        b = 8
+        b = 2
         images, queries = _batch(rng, b, cfg)
         q = rng.normal(size=(b, cfg.seqlen, 4)).astype(np.float32)
         q /= np.linalg.norm(q, axis=-1, keepdims=True)
@@ -99,7 +106,7 @@ class TestDataParallel:
         opt_state = tx.init(params)
         step = build_train_step(model, cfg, tx)
 
-        mesh = make_mesh(n_data=8)
+        mesh = make_mesh(n_data=2)
         params = replicate_params(mesh, params)
         opt_state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, replicated(mesh))
