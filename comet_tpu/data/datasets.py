@@ -60,11 +60,22 @@ def sample_evenly(total_frames: int, seq_len: int) -> List[int]:
 
 
 def make_bbox_square(bbox: np.ndarray, target_size: float) -> np.ndarray:
-    """Expand bbox to a square of target_size around its center."""
-    cx = (bbox[0] + bbox[2]) / 2.0
-    cy = (bbox[1] + bbox[3]) / 2.0
-    half = target_size / 2.0
-    return np.array([cx - half, cy - half, cx + half, cy + half])
+    """Expand bbox to a square of target_size around its center.
+
+    Matches the reference's semantics exactly (symmetric per-side padding in
+    float32, then truncation to int — kubric_movif_SFM_dataset_YT.py:36-59):
+    the integer truncation matters because the crop box feeds PIL.Image.crop,
+    and a float box would be *rounded* there instead, shifting the crop by up
+    to one source pixel versus the reference.
+    """
+    out = np.array(bbox, dtype=np.float32)
+    pad_h = (target_size - (bbox[3] - bbox[1])) / 2.0
+    out[1] -= pad_h
+    out[3] += pad_h
+    pad_w = (target_size - (bbox[2] - bbox[0])) / 2.0
+    out[0] -= pad_w
+    out[2] += pad_w
+    return out.astype(int)
 
 
 def mask_bbox(mask: np.ndarray) -> List[float]:

@@ -218,7 +218,11 @@ def relative_frame_errors(
 
     eulers_deg = np.degrees(euler_xyz_from_matrix_np(m))  # [N, 3] (x, y, z)
     error_euler = np.mean(np.abs(eulers_deg), axis=0)
-    acc = (np.abs(eulers_deg) < acc_threshold_deg).mean(axis=0)
+    # Reference quirk (metric.py:437-441): the acc@5deg percentages compare
+    # the SIGNED per-frame Euler error to the threshold — no abs() — so any
+    # negative-signed error counts as accurate. X/Y/Z_err use |euler| but the
+    # acc columns intentionally reproduce the reference's signed comparison.
+    acc = (eulers_deg < acc_threshold_deg).mean(axis=0)
 
     return {
         "rel_rangle_deg": rel_rangle_deg,

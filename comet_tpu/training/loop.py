@@ -152,6 +152,11 @@ def evaluate(
 ) -> Dict[str, float]:
     """Sequential eval over a dataset; returns epoch-average metrics.
 
+    ``keypoint_backend`` is a backend name ("corners"/"grid"/"superpoint")
+    or a callable ``sample -> [track_num, 2]`` for externally-supplied
+    query points (e.g. parity tests that must feed both harnesses the
+    same seeds).
+
     Input decode + keypoint seeding for sequence i+1 runs on a prefetch
     thread while the device evaluates sequence i (north-star "device-side
     prefetch"; the reference hides this behind DataLoader workers,
@@ -163,10 +168,13 @@ def evaluate(
 
     def produce(i: int):
         sample = dataset[i]
-        queries = seed_query_points(
-            sample.images[0], sample.first_mask, cfg.track_num,
-            cfg.min_track_num, backend=keypoint_backend, rng=rng,
-        )
+        if callable(keypoint_backend):
+            queries = np.asarray(keypoint_backend(sample), np.float32)
+        else:
+            queries = seed_query_points(
+                sample.images[0], sample.first_mask, cfg.track_num,
+                cfg.min_track_num, backend=keypoint_backend, rng=rng,
+            )
         return sample, queries
 
     from ..data.prefetch import prefetch

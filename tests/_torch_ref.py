@@ -48,8 +48,17 @@ def install(monkeypatch=None):
         hutils = types.ModuleType("hydra.utils")
 
         def instantiate(conf, **kwargs):
-            conf = dict(conf)
+            conf = {
+                k: v for k, v in dict(conf).items()
+                if not (k.startswith("_") and k.endswith("_") and k != "_target_")
+            }
             target = conf.pop("_target_")
+            # strip hydra meta-kwargs (_recursive_, _partial_) — the
+            # reference constructors have fixed signatures
+            kwargs = {
+                k: v for k, v in kwargs.items()
+                if not (k.startswith("_") and k.endswith("_"))
+            }
             mod, cls = target.rsplit(".", 1)
             return getattr(importlib.import_module(mod), cls)(**conf, **kwargs)
 
@@ -136,6 +145,142 @@ def install(monkeypatch=None):
             ("kornia.geometry.subpix.dsnt", kdsnt),
         ]:
             sys.modules[name] = mod
+
+
+def install_harness():
+    """Extra stubs so the reference's OWN eval harness module
+    (train_eval_func_new_cp5.py) and model class (E2Epose2.COMET) import
+    and run in this environment (harness-vs-harness parity, VERDICT
+    round-2 item 1). Call after install(). Idempotent.
+
+    Stubbed: torchvision / omegaconf / full pytorch3d (absent from this
+    image; only type hints and random_quaternions are touched at eval
+    time), lightglue (replaced by an injectable fake extractor so both
+    harnesses consume IDENTICAL query points), and train_util (its import
+    block is broken-as-shipped — `from imc import IMCDataset`,
+    SURVEY.md §1 — so the four functions the harness chain needs are
+    exec'd read-only from the reference source instead).
+    """
+    import re
+
+    import torch
+
+    install()
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvf = types.ModuleType("torchvision.transforms.functional")
+        tv.transforms = tvt
+        tvt.functional = tvf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.transforms.functional"] = tvf
+
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+
+        class DictConfig(dict):
+            pass
+
+        class OmegaConf:
+            @staticmethod
+            def set_struct(cfg, flag):
+                pass
+
+            @staticmethod
+            def to_yaml(cfg):
+                return str(cfg)
+
+        oc.DictConfig = DictConfig
+        oc.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = oc
+
+    if "pytorch3d" not in sys.modules:
+        p3d = types.ModuleType("pytorch3d")
+        p3dt = types.ModuleType("pytorch3d.transforms")
+
+        def random_quaternions(n, dtype=None, device=None):
+            q = torch.randn(n, 4, dtype=dtype, device=device)
+            return q / q.norm(dim=-1, keepdim=True)
+
+        p3dt.random_quaternions = random_quaternions
+        p3dr = types.ModuleType("pytorch3d.renderer")
+        p3drc = types.ModuleType("pytorch3d.renderer.cameras")
+
+        class CamerasBase:  # type-hint only in E2Epose2
+            pass
+
+        p3drc.CamerasBase = CamerasBase
+        p3dr.cameras = p3drc
+        p3d.transforms = p3dt
+        p3d.renderer = p3dr
+        sys.modules["pytorch3d"] = p3d
+        sys.modules["pytorch3d.transforms"] = p3dt
+        sys.modules["pytorch3d.renderer"] = p3dr
+        sys.modules["pytorch3d.renderer.cameras"] = p3drc
+
+    if "lightglue" not in sys.modules:
+        lg = types.ModuleType("lightglue")
+
+        class _FakeExtractor:
+            """Injectable detector: set `points` ([N, 2] torch) per test so
+            the reference harness seeds the exact same query points as
+            ours. .cuda()/.eval() are the chainable no-ops the harness
+            calls (train_eval_func_new_cp5.py:527-531)."""
+
+            points: "torch.Tensor | None" = None
+
+            def __init__(self, **kw):
+                pass
+
+            def cuda(self):
+                return self
+
+            def eval(self):
+                return self
+
+            def extract(self, img):
+                pts = type(self).points
+                if pts is None:
+                    pts = torch.zeros(0, 2)
+                return {"keypoints": pts[None]}
+
+        class SuperPoint(_FakeExtractor):
+            points = None
+
+        class SIFT(_FakeExtractor):
+            points = torch.zeros(0, 2)
+
+        lg.SuperPoint = SuperPoint
+        lg.SIFT = SIFT
+        sys.modules["lightglue"] = lg
+
+    if "train_util" not in sys.modules:
+        src = open("/root/reference/comet/models/train_util.py").read()
+
+        def extract_fn(name):
+            m = re.search(rf"^def {name}\(.*?(?=^\S)", src, re.M | re.S)
+            return m.group(0)
+
+        import numpy as np
+        import psutil
+
+        ns = {"torch": torch, "np": np, "numpy": np, "psutil": psutil,
+              "os": __import__("os")}
+        for fn in ("check_ni", "process_spark_data", "process_spark_data2",
+                   "record_and_print_cpu_memory_and_usage"):
+            exec(compile(extract_fn(fn), f"train_util:{fn}", "exec"), ns)
+        mod = types.ModuleType("train_util")
+        for fn in ("check_ni", "process_spark_data", "process_spark_data2",
+                   "record_and_print_cpu_memory_and_usage"):
+            setattr(mod, fn, ns[fn])
+
+        def set_seed_and_print(seed):  # logging-only utility
+            torch.manual_seed(seed)
+
+        mod.set_seed_and_print = set_seed_and_print
+        sys.modules["train_util"] = mod
 
 
 def build_torch_dinov2(img_size=336, depth=12, embed_dim=768, num_heads=12,
