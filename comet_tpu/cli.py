@@ -36,7 +36,9 @@ def _common(parser):
     parser.add_argument(
         "--device-preprocess", action="store_true",
         help="run crop/resize/normalize jitted on device (bilinear fast "
-        "path; default host path is LANCZOS reference-parity)",
+        "path; default host path is LANCZOS reference-parity). Applies to "
+        "every dataset-constructing subcommand (eval/train/demo); bench "
+        "uses synthetic device-resident tensors and ignores it",
     )
     parser.add_argument(
         "--demo-seq-len", type=int, default=None,
@@ -67,6 +69,15 @@ def _build(args):
     if overrides:
         cfg = cfg.replace(**overrides)
     return cfg
+
+
+def _maybe_device_preprocess(dataset, args):
+    """Wrap a dataset in the XLA preprocessing fast path when requested."""
+    if getattr(args, "device_preprocess", False):
+        from .data.device_pipeline import DevicePreprocessDataset
+
+        return DevicePreprocessDataset(dataset)
+    return dataset
 
 
 def _init_model(cfg, seed=0, checkpoint=None, inference=True):
@@ -104,12 +115,9 @@ def cmd_eval(args):
     dataset = AMDDataset(
         cfg.data_root, crop_size=cfg.img_size, seq_len=cfg.seqlen, use_augs=False
     )
-    if args.device_preprocess:
-        # XLA fast path: host decodes, device crops/resizes/normalizes
-        # (bilinear; the default host path keeps LANCZOS reference parity)
-        from .data.device_pipeline import DevicePreprocessDataset
-
-        dataset = DevicePreprocessDataset(dataset)
+    # XLA fast path: host decodes, device crops/resizes/normalizes
+    # (bilinear; the default host path keeps LANCZOS reference parity)
+    dataset = _maybe_device_preprocess(dataset, args)
     os.makedirs(args.output_dir, exist_ok=True)
     logger = CsvLogger(os.path.join(args.output_dir, "test_results.csv"))
     t0 = time.time()
@@ -127,8 +135,6 @@ def cmd_eval(args):
 
 def cmd_train(args):
     import jax
-    import jax.numpy as jnp
-    import optax
 
     from .data import AMDDataset, seed_query_points
     from .training import (
@@ -138,14 +144,15 @@ def cmd_train(args):
         build_optimizer,
         build_train_step,
         evaluate,
-        make_gt_cameras,
-        metric_block,
         save_checkpoint,
         auto_resume,
     )
+    from .training.data_parallel import fit_epoch, process_local_order
+    from .parallel.mesh import make_mesh
+    from .training.data_parallel import replicate_train_state
 
     cfg = _build(args)
-    if args.epochs:
+    if args.epochs is not None:
         import dataclasses
 
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
@@ -162,7 +169,25 @@ def cmd_train(args):
         os.path.join(cfg.data_root, "AMD_eval"), crop_size=cfg.img_size,
         seq_len=cfg.seqlen, use_augs=False,
     )
-    steps_per_epoch = len(train_ds)
+    train_ds = _maybe_device_preprocess(train_ds, args)
+    eval_ds = _maybe_device_preprocess(eval_ds, args)
+
+    # data-parallel topology: a (data,) mesh over n_devices, batches
+    # sharded on the leading axis, params/opt replicated. 1 device ==
+    # plain single-chip training through the same code path.
+    n_devices = args.n_devices or jax.local_device_count()
+    global_batch = args.global_batch or n_devices * jax.process_count()
+    local_batch = max(global_batch // jax.process_count(), 1)
+    mesh = make_mesh(n_data=n_devices) if n_devices > 1 else None
+    local_len = len(
+        range(jax.process_index(), len(train_ds), jax.process_count())
+    )
+    steps_per_epoch = max(local_len // local_batch, 1)
+    print(
+        f"data-parallel: {n_devices} device(s) x {jax.process_count()} "
+        f"process(es), global batch {global_batch}, "
+        f"{steps_per_epoch} steps/epoch"
+    )
     tx, schedule = build_optimizer(
         params, cfg.train.lr, steps_per_epoch, cfg.train.restart_num,
         cfg.train.warmup_ratio, cfg.train.warmup_lr_init, cfg.train.clip_grad,
@@ -171,48 +196,56 @@ def cmd_train(args):
     train_step = build_train_step(model, cfg, tx)
 
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
-    start_epoch, (params, opt_state) = 0, (params, opt_state)
+    start_epoch = 0
     resume_epoch, restored = auto_resume(ckpt_dir, {"params": params, "opt": opt_state})
     if resume_epoch > 0:
         start_epoch = resume_epoch
         params, opt_state = restored["params"], restored["opt"]
         print(f"resumed from epoch {start_epoch}")
+    if mesh is not None:
+        params, opt_state = replicate_train_state(mesh, params, opt_state)
 
     logger = CsvLogger(os.path.join(args.output_dir, "train_results.csv"))
     monitor = TrainingMonitor(os.path.join(args.output_dir, "anomaly_checkpoints"))
     rng = np.random.default_rng(cfg.train.seed)
     global_step = start_epoch * steps_per_epoch
 
+    def seed_fn(sample):
+        return seed_query_points(
+            sample.images[0], sample.first_mask, cfg.track_num,
+            cfg.min_track_num, backend=args.keypoints, rng=rng,
+        )
+
     for epoch in range(start_epoch, cfg.train.epochs):
         stats = RunningStats()
-        order = rng.permutation(len(train_ds))
-        for i, idx in enumerate(order):
-            sample = train_ds[int(idx)]
-            queries = seed_query_points(
-                sample.images[0], sample.first_mask, cfg.track_num,
-                cfg.min_track_num, backend=args.keypoints, rng=rng,
-            )
-            gt_cams = make_gt_cameras(sample)
-            params, opt_state, aux = train_step(
-                params, opt_state,
-                jnp.asarray(sample.images)[None], jnp.asarray(queries)[None],
-                gt_cams,
-            )
-            loss = float(aux["loss"])
-            monitor.check(loss, global_step, {"seq": sample.seq_name})
-            metrics = metric_block(aux, gt_cams, "")
-            metrics["lr"] = float(schedule(global_step))
-            stats.update(metrics)
+        order = process_local_order(rng, len(train_ds))
+
+        def on_metrics(step_i, rows, _epoch=epoch):
+            nonlocal global_step
+            for row in rows:
+                monitor.check(row["loss"], global_step, {"epoch": _epoch})
+                row["lr"] = float(schedule(global_step))
+                stats.update(row)
             global_step += 1
-            if i % cfg.train.print_interval == 0:
-                print(stats.status_string(i, steps_per_epoch, "train"))
+            if step_i % cfg.train.print_interval == 0:
+                print(stats.status_string(step_i, steps_per_epoch, "train"))
+
+        params, opt_state, _ = fit_epoch(
+            train_step, params, opt_state, train_ds, seed_fn,
+            local_batch, order, mesh=mesh, on_metrics=on_metrics,
+        )
 
         logger.log(epoch, stats.averages())
         if epoch > 0:
-            # per-metric training curves (VizStats plot_stats equivalent)
-            from .training.stats import plot_metrics_png
+            # per-metric training curves (VizStats plot_stats equivalent);
+            # chart failures (missing matplotlib, headless backend) must
+            # never kill a training run
+            try:
+                from .training.stats import plot_metrics_png
 
-            plot_metrics_png(logger.path)
+                plot_metrics_png(logger.path)
+            except Exception as exc:  # pragma: no cover - env dependent
+                print(f"warning: metric plot failed ({exc!r})")
         if (epoch + 1) % cfg.train.ckpt_interval == 0:
             save_checkpoint(ckpt_dir, epoch, {"params": params, "opt": opt_state})
         if (epoch + 1) % cfg.train.eval_interval == 0:
@@ -240,6 +273,7 @@ def cmd_demo(args):
         cfg.data_root, crop_size=cfg.img_size, seq_len=demo_seq_len,
         use_augs=False,
     )
+    dataset = _maybe_device_preprocess(dataset, args)
     eval_step = build_eval_step(model, cfg)
     rng = np.random.default_rng(cfg.train.seed)
     n = min(len(dataset), args.max_sequences or len(dataset))
@@ -310,7 +344,13 @@ def cmd_demo(args):
             [[fx, 0.0, c0], [0.0, fy, c0], [0.0, 0.0, 1.0]], jnp.float32
         )
         proj = projection_matrices(q, t, k_mat)
-        mask = jnp.ones(tracks.shape[:2], jnp.float32)
+        # weight observations by the model's own track confidence (the
+        # normalized inverse heatmap-std, E2Epose2.py:232-239) so occluded
+        # or drifting tracks don't pollute the exported point cloud
+        if out.get("track_score") is not None:
+            mask = jnp.asarray(out["track_score"][0], jnp.float32)
+        else:
+            mask = jnp.ones(tracks.shape[:2], jnp.float32)
         pts3d = np.asarray(triangulate_tracks(proj, tracks, mask))
         # per-point color from the (denormalized) first frame
         img0 = np.asarray(sample.images[0])
@@ -334,11 +374,23 @@ def cmd_demo(args):
 
 
 def cmd_bench(args):
-    from .bench_lib import run_benchmark
+    from .bench_lib import (
+        run_benchmark,
+        run_eval_data_benchmark,
+        run_train_benchmark,
+    )
 
     cfg = _build(args)
-    result = run_benchmark(cfg, warmup=3, reps=10)
-    print(json.dumps(result))
+    which = args.suite
+    if which in ("infer", "all"):
+        print(json.dumps(run_benchmark(cfg, warmup=3, reps=10)))
+    if which in ("train", "all"):
+        print(json.dumps(run_train_benchmark(cfg, warmup=2, reps=6)))
+    if which in ("data", "all"):
+        print(json.dumps(run_eval_data_benchmark(
+            cfg, data_root=args.data_root,
+            max_sequences=args.max_sequences or 8,
+        )))
 
 
 def main(argv=None):
@@ -347,8 +399,24 @@ def main(argv=None):
     for name, fn in [("eval", cmd_eval), ("train", cmd_train), ("demo", cmd_demo), ("bench", cmd_bench)]:
         p = sub.add_parser(name)
         _common(p)
+        if name == "bench":
+            p.add_argument(
+                "--suite", default="infer",
+                choices=["infer", "train", "data", "all"],
+                help="infer: pure-tensor forward; train: jitted train step; "
+                "data: eval with real data through the input pipeline",
+            )
         if name == "train":
             p.add_argument("--epochs", type=int, default=None)
+            p.add_argument(
+                "--n-devices", type=int, default=None,
+                help="data-parallel devices (default: all local devices)",
+            )
+            p.add_argument(
+                "--global-batch", type=int, default=None,
+                help="global batch size across all devices/processes "
+                "(default: n_devices * process_count)",
+            )
         p.set_defaults(fn=fn)
     args = parser.parse_args(argv)
     args.fn(args)

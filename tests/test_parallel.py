@@ -136,6 +136,89 @@ class TestDataParallel:
             checked += 1
         assert checked > 0
 
+    def test_mesh_train_step_matches_single_device(self, rng):
+        """VERDICT round-2 item 2: the production data-parallel path
+        (replicate state -> shard batch -> jitted train step) must produce
+        the same loss AND the same updated params as a single-device step
+        on the identical global batch. 2-device mesh for the same
+        rendezvous-timeout reason as above."""
+        from comet_tpu.training.data_parallel import (
+            build_batch,
+            replicate_train_state,
+            shard_train_inputs,
+        )
+        from comet_tpu.training.loop import build_train_step
+        from comet_tpu.training.optim import build_optimizer
+        from comet_tpu.data.datasets import SequenceSample
+
+        model, cfg = _tiny_model()
+        b = 2
+        samples, queries = [], []
+        for k in range(b):
+            s = cfg.seqlen
+            t_uvz = rng.normal(size=(s, 3)).astype(np.float32)
+            t_uvz[:, 2] = np.abs(t_uvz[:, 2]) + 2.0
+            q = rng.normal(size=(s, 4)).astype(np.float32)
+            q /= np.linalg.norm(q, axis=-1, keepdims=True)
+            samples.append(SequenceSample(
+                images=rng.normal(
+                    size=(s, cfg.img_size, cfg.img_size, 3)
+                ).astype(np.float32),
+                t_xyz=rng.normal(size=(s, 3)).astype(np.float32),
+                q_wxyz=q,
+                t_uvz=t_uvz,
+                r_matrix=np.tile(np.eye(3, dtype=np.float32), (s, 1, 1)),
+                ratio=0.5,
+                seq_name=f"seq{k}",
+                image_names=[f"{i}.png" for i in range(s)],
+                first_mask=np.ones((cfg.img_size, cfg.img_size), bool),
+            ))
+            queries.append(
+                (rng.random((cfg.track_num, 2)) * (cfg.img_size - 16) + 8)
+                .astype(np.float32)
+            )
+
+        images, q_b, gt_b, gt_list = build_batch(samples, queries)
+        params = model.init(jax.random.PRNGKey(0), images[:1], q_b[:1])
+        tx, _ = build_optimizer(params, steps_per_epoch=1)
+        opt_state = tx.init(params)
+        step = build_train_step(model, cfg, tx)
+
+        # single-device reference on the same global batch
+        p_ref, _, aux_ref = step(params, opt_state, images, q_b, gt_b)
+
+        mesh = make_mesh(n_data=2)
+        p_m, o_m = replicate_train_state(mesh, params, opt_state)
+        im_s, q_s, gt_s = shard_train_inputs(mesh, images, q_b, gt_b)
+        p_new, _, aux = step(p_m, o_m, im_s, q_s, gt_s)
+
+        np.testing.assert_allclose(
+            float(aux["loss"]), float(aux_ref["loss"]), rtol=1e-5
+        )
+        flat_ref = jax.tree_util.tree_leaves(p_ref)
+        flat_new = jax.tree_util.tree_leaves(p_new)
+        assert len(flat_ref) == len(flat_new)
+        for a, c in zip(flat_ref, flat_new):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(a), atol=1e-5, rtol=1e-5
+            )
+
+        # per-sample metric rows come out finite and per-sequence
+        from comet_tpu.training.data_parallel import batch_metrics
+
+        rows = batch_metrics(
+            {k: np.asarray(v) for k, v in aux.items()}, gt_list
+        )
+        assert len(rows) == b
+        assert all(np.isfinite(r["R_avg"]) for r in rows)
+
+    def test_process_local_order_strides(self):
+        from comet_tpu.training.data_parallel import process_local_order
+
+        order = process_local_order(np.random.default_rng(0), 10)
+        # single-process env: full permutation
+        assert sorted(order.tolist()) == list(range(10))
+
     def test_cross_replica_mean_matches_psum(self, rng):
         mesh = make_mesh(n_data=8)
         x = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
