@@ -126,12 +126,14 @@ def windowed_forward(
 
         for j, frame in enumerate(idx):
             f = int(frame)
-            if global_enc[f] is None or j > 0:
-                # later windows refine overlap frames; window-relative frame
-                # 0 (identity) never overwrites an existing estimate
-                if not (j == 0 and global_enc[f] is not None):
-                    global_enc[f] = enc_global[j]
-            if tracks_w is not None and global_tracks[f] is None:
+            # ONE stitching policy for poses and tracks: later windows
+            # refine overlap frames. Window-relative frame 0 never
+            # overwrites an existing estimate (its pose is the identity
+            # relative to itself; its track is the seeded query, i.e. the
+            # previous window's own estimate echoed back).
+            if j > 0 or global_enc[f] is None:
+                global_enc[f] = enc_global[j]
+            if tracks_w is not None and (j > 0 or global_tracks[f] is None):
                 global_tracks[f] = tracks_w[0, j]
 
         # seed the next window's queries from this window's track estimate

@@ -317,7 +317,12 @@ def corr_volume_pyramid_sample(
             # avg_pool_2x2 smaller-than-window semantics)
             ph = pool_mat(ph.shape[0]) @ ph  # [h_l, h0]
             pw = pool_mat(pw.shape[0]) @ pw
-        identity = ph.shape[0] == h0 and np.allclose(ph, np.eye(h0))
+        identity = (
+            ph.shape[0] == h0
+            and pw.shape[0] == w0
+            and np.allclose(ph, np.eye(h0))
+            and np.allclose(pw, np.eye(w0))
+        )
         rsel, csel = _two_hot_selectors(
             coords / (2.0**lvl), ph.shape[0], pw.shape[0], radius,
             padding_mode, vol.dtype,
@@ -370,6 +375,11 @@ def extract_patches_ex(
     feed the fine tracker without transposing a [B·N, S, P, P, C] tensor
     (the (s, n) transpose cost ~10 ms/fwd in layout copies).
 
+    Out-of-range ``topleft`` is clamped to [0, (W-psize, H-psize)] up
+    front, so both the blocked-gather and row-gather paths share one
+    semantic: the window START shifts into range (never per-row edge
+    replication).
+
     TPU formulation (chosen from jax.profiler traces of the full model):
     1. transpose images to channel-first once, so the row gather's slices
        and the later contraction axis (w) are both minor;
@@ -383,6 +393,11 @@ def extract_patches_ex(
     """
     b, h, w, c = images.shape
     n = topleft.shape[1]
+    topleft = jnp.clip(
+        topleft,
+        0,
+        jnp.asarray([w - psize, h - psize], topleft.dtype),
+    )
     lin = jnp.arange(psize, dtype=jnp.int32)
     rows = topleft[..., 1][..., None] + lin  # [B, N, P]
     cols = topleft[..., 0][..., None] + lin  # [B, N, P]

@@ -9,6 +9,7 @@ anchor must reproduce the global frame-0-relative encodings exactly.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from comet_tpu.geometry.cameras import make_camera_set
@@ -130,6 +131,79 @@ class TestWindowedForward:
         sign = np.sign(np.sum(got[:, 3:] * want[:, 3:], -1, keepdims=True))
         np.testing.assert_allclose(got[:, :3], want[:, :3], atol=1e-4)
         np.testing.assert_allclose(got[:, 3:] * sign, want[:, 3:], atol=1e-4)
+
+    def test_overlap_frames_take_later_window_estimates(self, rng):
+        """Stitching policy: overlap frames are REFINED by later windows —
+        for poses and tracks alike (one policy, not two)."""
+        t, wlen, n = 12, 8, 4
+        cams = _random_trajectory(rng, t)
+        images = jnp.zeros((1, t, 8, 8, 3), jnp.float32)
+        queries = jnp.asarray(rng.random((1, n, 2)).astype(np.float32) * 8)
+        windows = window_schedule(t, wlen)
+
+        def fake_apply(win_images, win_queries):
+            w_idx = fake_apply.calls
+            idx = windows[w_idx]
+            fake_apply.calls += 1
+            import jax
+
+            sub = jax.tree_util.tree_map(
+                lambda x: x[np.asarray(idx)]
+                if x.ndim >= 1 and x.shape[0] == t
+                else x,
+                cams,
+            )
+            enc = encode_relative_uvz(sub)[:, :7]
+            # tracks stamped with the window index so the winner is visible
+            tracks = jnp.full((1, len(idx), n, 2), float(w_idx + 1))
+            return {"pred_pose_enc": enc[None], "pred_track": tracks}
+
+        fake_apply.calls = 0
+        _, trk = windowed_forward(fake_apply, images, queries, wlen, cams.ratio)
+        trk = np.asarray(trk[0, :, 0, 0])  # [T] stamp per frame
+        # each frame's track must come from the LAST window containing it at
+        # window-relative position > 0
+        for f in range(1, t):
+            owners = [
+                wi for wi, idx in enumerate(windows)
+                if f in [int(i) for i in idx[1:]]
+            ]
+            assert trk[f] == owners[-1] + 1, f"frame {f}"
+
+    @pytest.mark.slow
+    def test_identity_case_matches_whole_sequence(self, rng):
+        """T == window_len: windowed_forward must equal a single
+        whole-sequence forward of the real model (compose with the identity
+        anchor is exact up to float rounding)."""
+        from comet_tpu.models import COMET
+        from test_models import tiny_config
+
+        import jax
+
+        cfg = tiny_config()
+        t = cfg.seqlen
+        model = COMET(cfg)
+        images = jnp.asarray(
+            rng.random((1, t, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+        )
+        queries = jnp.asarray(
+            8.0 + rng.random((1, cfg.track_num, 2)).astype(np.float32)
+            * (cfg.img_size - 16)
+        )
+        params = model.init(jax.random.PRNGKey(0), images, queries)
+        direct = model.apply(params, images, queries)
+
+        enc, trk = windowed_forward(
+            lambda im, q: model.apply(params, im, q),
+            images, queries, t, jnp.float32(0.5),
+        )
+        np.testing.assert_allclose(
+            np.asarray(enc[0]), np.asarray(direct["pred_pose_enc"][0]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(trk[0]), np.asarray(direct["pred_track"][0]), atol=1e-5
+        )
 
     def test_teacher_forcing_scheduler(self):
         s = TeacherForcingScheduler(1.0, 0.2, 100)
