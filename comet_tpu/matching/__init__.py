@@ -11,3 +11,16 @@ from .gt_generation import (
 )
 from .eval import eval_matches_homography
 from .train import build_matcher_train_step, matcher_nll_loss
+from .eval_pipeline import (
+    AUCMetric,
+    EvalPipeline,
+    HomographyEvalPipeline,
+    cal_error_auc,
+    eval_poses,
+    export_predictions,
+    load_predictions,
+    save_eval,
+    load_eval,
+    exists_eval,
+)
+from .extractors import make_aliked

@@ -1,0 +1,400 @@
+"""Cached-prediction evaluation pipeline for the matching stack.
+
+Parity targets:
+- gluefactory/eval/eval_pipeline.py:1-109 — the export -> cache -> eval ->
+  summarize driver with on-disk artifacts (results.h5 + summaries.json +
+  conf guard) and overwrite semantics;
+- gluefactory/utils/export_predictions.py — prediction caching;
+- gluefactory/utils/tools.py:137-165 — cal_error_auc / AUCMetric;
+- gluefactory/eval/utils.py:132-224 — eval_homography_robust (through the
+  robust-estimator plugin layer), eval_homography_dlt, eval_poses
+  multi-threshold selection;
+- gluefactory/eval/hpatches.py — the first client, here driven by the
+  repo's synthetic homography pairs (no HPatches download offline).
+
+Artifact layout per experiment dir (reference-shaped):
+    conf.json         pipeline config (guards stale caches)
+    predictions.h5    per-pair exported predictions
+    results.h5        per-pair metric arrays
+    summaries.json    scalar summary row
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- metrics
+
+def cal_error_auc(errors: Sequence[float], thresholds: Sequence[float]):
+    """Exact reference formula (tools.py:137-149): cumulative-recall
+    trapezoid AUC at each threshold, rounded to 4 decimals."""
+    errors = np.asarray(list(errors), np.float64)
+    if errors.size == 0:
+        return [float("nan")] * len(thresholds)
+    sort_idx = np.argsort(errors)
+    errors = errors[sort_idx]
+    recall = (np.arange(len(errors)) + 1) / len(errors)
+    errors = np.r_[0.0, errors]
+    recall = np.r_[0.0, recall]
+    aucs = []
+    for t in thresholds:
+        last_index = np.searchsorted(errors, t)
+        r = np.r_[recall[:last_index], recall[last_index - 1]]
+        e = np.r_[errors[:last_index], t]
+        aucs.append(float(np.round(np.trapezoid(r, x=e) / t, 4)))
+    return aucs
+
+
+class AUCMetric:
+    """tools.py:152-165."""
+
+    def __init__(self, thresholds, elements=None):
+        self.thresholds = (
+            list(thresholds) if isinstance(thresholds, (list, tuple))
+            else [thresholds]
+        )
+        self._elements = list(elements) if elements is not None else []
+
+    def update(self, values):
+        self._elements += np.asarray(values).ravel().tolist()
+
+    def compute(self):
+        if not self._elements:
+            return float("nan")
+        return cal_error_auc(self._elements, self.thresholds)
+
+
+def eval_poses(
+    pose_results: Dict[float, Dict[str, List[float]]],
+    auc_ths: Sequence[float],
+    key: str,
+    unit: str = "px",
+):
+    """Multi-threshold selection (eval/utils.py:199-224): pick the RANSAC
+    threshold with the best mean AUC, emit per-threshold AUC summaries and
+    medians of every numeric per-pair metric at the winner."""
+    pose_aucs = {
+        th: AUCMetric(list(auc_ths), res[key]).compute()
+        for th, res in pose_results.items()
+    }
+    maas = {th: float(np.mean(v)) for th, v in pose_aucs.items()}
+    best_th = max(maas, key=maas.get)
+
+    summaries = {}
+    for i, ath in enumerate(auc_ths):
+        summaries[f"{key}@{ath}{unit}"] = pose_aucs[best_th][i]
+    summaries[f"{key}_mAA"] = maas[best_th]
+    for k, v in pose_results[best_th].items():
+        arr = np.asarray(v)
+        if np.issubdtype(arr.dtype, np.number):
+            summaries[f"m{k}"] = round(float(np.median(arr)), 3)
+    return summaries, best_th
+
+
+# ---------------------------------------------------------------- storage
+
+def save_eval(exp_dir: str, summaries: Dict, results: Dict) -> None:
+    """eval_pipeline.py:23-43 minus matplotlib figures."""
+    import h5py
+
+    with h5py.File(os.path.join(exp_dir, "results.h5"), "w") as hfile:
+        for k, v in results.items():
+            arr = np.asarray(v)
+            if not np.issubdtype(arr.dtype, np.number):
+                arr = arr.astype(h5py.string_dtype())
+            hfile.create_dataset(k, data=arr)
+    s = {
+        k: (float(v) if np.isfinite(v) else None)
+        if not isinstance(v, list) else v
+        for k, v in summaries.items()
+    }
+    with open(os.path.join(exp_dir, "summaries.json"), "w") as f:
+        json.dump(s, f, indent=4)
+
+
+def load_eval(exp_dir: str):
+    import h5py
+
+    results = {}
+    with h5py.File(os.path.join(exp_dir, "results.h5"), "r") as hfile:
+        for k in hfile.keys():
+            r = np.array(hfile[k])
+            if r.dtype.kind in "OS":
+                r = r.astype(str)
+            results[k] = r
+    with open(os.path.join(exp_dir, "summaries.json")) as f:
+        s = json.load(f)
+    summaries = {k: (v if v is not None else np.nan) for k, v in s.items()}
+    return summaries, results
+
+
+def exists_eval(exp_dir: str) -> bool:
+    return os.path.exists(os.path.join(exp_dir, "results.h5")) and os.path.exists(
+        os.path.join(exp_dir, "summaries.json")
+    )
+
+
+def export_predictions(
+    loader: Iterable[Dict], model, pred_file: str, keys: Sequence[str],
+    optional_keys: Sequence[str] = (),
+) -> str:
+    """Run ``model`` over ``loader`` and cache the requested prediction
+    keys per item (utils/export_predictions.py capability). Each loader
+    item is a dict with a unique "name"."""
+    import h5py
+
+    with h5py.File(pred_file, "w") as hfile:
+        for data in loader:
+            pred = model(data)
+            grp = hfile.create_group(str(data["name"]))
+            for k in list(keys) + [k for k in optional_keys if k in pred]:
+                if k in keys and k not in pred:
+                    raise KeyError(f"prediction missing required key {k}")
+                if k in pred:
+                    grp.create_dataset(k, data=np.asarray(pred[k]))
+    return pred_file
+
+
+def load_predictions(pred_file: str, name: str) -> Dict[str, np.ndarray]:
+    """CacheLoader equivalent: the cached prediction row for one item."""
+    import h5py
+
+    with h5py.File(pred_file, "r") as hfile:
+        grp = hfile[str(name)]
+        return {k: np.array(grp[k]) for k in grp.keys()}
+
+
+# ---------------------------------------------------------------- pipeline
+
+class EvalPipeline:
+    """Export + cached-eval driver (eval_pipeline.py:50-109).
+
+    Subclasses define default_conf / export_keys and implement
+    get_dataloader / run_eval; `run()` handles caching, the conf guard,
+    and artifact round-trips.
+    """
+
+    default_conf: Dict = {}
+    export_keys: List[str] = []
+    optional_export_keys: List[str] = []
+
+    def __init__(self, conf: Optional[Dict] = None):
+        self.conf = _deep_merge(self.default_conf, conf or {})
+        self._init(self.conf)
+
+    def _init(self, conf):
+        pass
+
+    def get_dataloader(self):
+        raise NotImplementedError
+
+    def get_model(self):
+        raise NotImplementedError
+
+    def run_eval(self, loader, pred_file):
+        raise NotImplementedError
+
+    def save_conf(self, exp_dir, overwrite=False, overwrite_eval=False):
+        """Config guard (eval_pipeline.py:95-109): refuses to reuse caches
+        produced under a different data/model conf unless overwrite."""
+        path = os.path.join(exp_dir, "conf.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                saved = json.load(f)
+            if saved.get("data") != self.conf.get("data") or saved.get(
+                "model"
+            ) != self.conf.get("model"):
+                if not overwrite:
+                    raise RuntimeError(
+                        "configs changed, pass overwrite=True to rerun"
+                    )
+            if saved.get("eval") != self.conf.get("eval"):
+                if not (overwrite or overwrite_eval):
+                    raise RuntimeError(
+                        "eval configs changed, pass overwrite_eval=True"
+                    )
+        with open(path, "w") as f:
+            json.dump(self.conf, f, indent=2, default=str)
+
+    def get_predictions(self, exp_dir, model=None, overwrite=False) -> str:
+        pred_file = os.path.join(exp_dir, "predictions.h5")
+        if not os.path.exists(pred_file) or overwrite:
+            model = model if model is not None else self.get_model()
+            export_predictions(
+                self.get_dataloader(), model, pred_file,
+                keys=self.export_keys,
+                optional_keys=self.optional_export_keys,
+            )
+        return pred_file
+
+    def run(self, exp_dir, model=None, overwrite=False, overwrite_eval=False):
+        os.makedirs(exp_dir, exist_ok=True)
+        self.save_conf(exp_dir, overwrite, overwrite_eval)
+        pred_file = self.get_predictions(exp_dir, model, overwrite)
+        if not exists_eval(exp_dir) or overwrite or overwrite_eval:
+            s, r = self.run_eval(self.get_dataloader(), pred_file)
+            save_eval(exp_dir, s, r)
+        return load_eval(exp_dir)
+
+
+def _deep_merge(base: Dict, over: Dict) -> Dict:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+class HomographyEvalPipeline(EvalPipeline):
+    """First client (hpatches.py equivalent): synthetic warped pairs stand
+    in for HPatches (no downloads offline); the eval block mirrors the
+    reference exactly — per-pair match precision/recall, weighted-DLT
+    homography error, and robust-estimator error swept over RANSAC
+    thresholds with best-mAA selection.
+    """
+
+    default_conf = {
+        "data": {"n_pairs": 8, "image_size": 96, "seed": 0},
+        "model": {"extractor": "extractor_sift", "extractor_conf": {},
+                  "matcher": "nn"},
+        "eval": {"estimator": "ransac", "ransac_th": -1.0,
+                 "auc_ths": [1, 3, 5]},
+    }
+    export_keys = [
+        "keypoints0", "keypoints1", "matches0", "matching_scores0",
+    ]
+
+    def get_dataloader(self):
+        from .benchmarks import make_synthetic_pairs
+
+        d = self.conf["data"]
+        pairs = make_synthetic_pairs(
+            n_pairs=d["n_pairs"],
+            hw=(d["image_size"], d["image_size"]), seed=d["seed"],
+        )
+        return [
+            {"name": f"pair{i:04d}", "image0": p[0], "image1": p[1],
+             "H_0to1": np.asarray(p[2]), "scene": f"scene{i % 2}"}
+            for i, p in enumerate(pairs)
+        ]
+
+    def get_model(self):
+        from .matchers import mutual_nearest_neighbor
+        from .registry import get_model as get_registered
+
+        extract = get_registered(
+            self.conf["model"]["extractor"],
+            **self.conf["model"].get("extractor_conf", {}),
+        )
+
+        def model(data):
+            f0 = extract(data["image0"])
+            f1 = extract(data["image1"])
+            m = mutual_nearest_neighbor(
+                f0["descriptors"], f1["descriptors"],
+                valid0=f0.get("valid"), valid1=f1.get("valid"),
+            )
+            return {
+                "keypoints0": f0["keypoints"], "keypoints1": f1["keypoints"],
+                "matches0": m["matches0"],
+                "matching_scores0": m["scores0"],
+            }
+
+        return model
+
+    def run_eval(self, loader, pred_file):
+        import jax.numpy as jnp
+
+        from ..twoview.estimators import run_homography_dlt
+        from ..twoview.robust_estimators import get_estimator
+        from .benchmarks import homography_corner_error
+        from .eval import eval_matches_homography
+
+        conf = self.conf["eval"]
+        ths = conf["ransac_th"]
+        test_ths = (
+            [ths] if np.isscalar(ths) and ths > 0
+            else [0.5, 1.0, 1.5, 2.0, 2.5, 3.0] if np.isscalar(ths)
+            else list(ths)
+        )
+        results = defaultdict(list)
+        pose_results: Dict[float, Dict[str, List[float]]] = defaultdict(
+            lambda: defaultdict(list)
+        )
+        for data in loader:
+            pred = load_predictions(pred_file, data["name"])
+            k0, k1 = pred["keypoints0"], pred["keypoints1"]
+            m0 = pred["matches0"]
+            scores0 = pred["matching_scores0"]
+            h_gt = jnp.asarray(data["H_0to1"], jnp.float32)
+            hw = data["image0"].shape[:2]
+
+            row = {
+                k: float(v)
+                for k, v in eval_matches_homography(
+                    jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(m0), h_gt
+                ).items()
+            }
+
+            valid = m0 >= 0
+            pts0 = k0[valid]
+            pts1 = k1[np.clip(m0[valid], 0, len(k1) - 1)]
+            w = scores0[valid]
+            if pts0.shape[0] >= 4:
+                h_dlt = run_homography_dlt(
+                    jnp.asarray(pts0, jnp.float32),
+                    jnp.asarray(pts1, jnp.float32),
+                    weights=jnp.asarray(w, jnp.float32),
+                )
+                row["H_error_dlt"] = float(
+                    homography_corner_error(h_dlt, h_gt, hw)
+                )
+            else:
+                row["H_error_dlt"] = float("inf")
+
+            for th in test_ths:
+                est = get_estimator(
+                    "homography", conf["estimator"], {"ransac_th": th}
+                )
+                if pts0.shape[0] >= 4:
+                    out = est({
+                        "m_kpts0": jnp.asarray(pts0, jnp.float32),
+                        "m_kpts1": jnp.asarray(pts1, jnp.float32),
+                    })
+                    err = (
+                        float(homography_corner_error(out["M_0to1"], h_gt, hw))
+                        if out["success"] else float("inf")
+                    )
+                else:
+                    err = float("inf")
+                pose_results[th]["H_error_ransac"].append(err)
+
+            row["names"] = data["name"]
+            row["scenes"] = data["scene"]
+            for k, v in row.items():
+                results[k].append(v)
+
+        summaries = {}
+        for k, v in results.items():
+            arr = np.asarray(v)
+            if np.issubdtype(arr.dtype, np.number):
+                summaries[f"m{k}"] = round(float(np.median(arr)), 3)
+
+        auc_ths = list(conf["auc_ths"])
+        best_pose, best_th = eval_poses(
+            pose_results, auc_ths=auc_ths, key="H_error_ransac", unit="px"
+        )
+        dlt_aucs = AUCMetric(auc_ths, results["H_error_dlt"]).compute()
+        for i, ath in enumerate(auc_ths):
+            summaries[f"H_error_dlt@{ath}px"] = dlt_aucs[i]
+        results = {**results, **pose_results[best_th]}
+        summaries = {**summaries, **best_pose}
+        return summaries, dict(results)

@@ -59,3 +59,53 @@ def make_superpoint(
         }
 
     return extract
+
+
+@register_model(
+    "extractor_aliked",
+    {"model_name": "aliked-n16", "max_keypoints": 512,
+     "detection_threshold": 0.2, "params_path": None, "seed": 0},
+)
+def make_aliked(
+    model_name: str = "aliked-n16",
+    max_keypoints: int = 512,
+    detection_threshold: float = 0.2,
+    params_path: Optional[str] = None,
+    seed: int = 0,
+):
+    """ALIKED extractor factory (gluefactory/models/extractors/aliked.py
+    parity; see models/aliked.py for the TPU redesign). Weightless-capable
+    like the SuperPoint factory; real checkpoints go through
+    models.aliked.convert_aliked_state_dict."""
+    from ..models.aliked import ALIKED
+
+    model = ALIKED(
+        model_name=model_name, max_keypoints=max_keypoints,
+        detection_threshold=detection_threshold,
+    )
+    state = {}
+
+    def extract(image: jax.Array) -> Dict[str, jax.Array]:
+        img = image if image.ndim == 3 else jnp.repeat(image[..., None], 3, -1)
+        h, w = img.shape[:2]
+        hp, wp = -(-h // 32) * 32, -(-w // 32) * 32
+        img = jnp.pad(img, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+        key = (hp, wp)
+        if key not in state:
+            variables = model.init(jax.random.PRNGKey(seed), img[None])
+            if params_path:
+                from ..utils import load_params_msgpack
+
+                variables = load_params_msgpack(params_path, variables)
+            state[key] = variables
+        out = model.apply(state[key], img[None])
+        return {
+            "keypoints": out.keypoints[0],
+            "scores": out.scores[0],
+            "descriptors": out.descriptors[0],
+            "valid": out.valid[0]
+            & (out.keypoints[0, :, 0] < w)
+            & (out.keypoints[0, :, 1] < h),
+        }
+
+    return extract

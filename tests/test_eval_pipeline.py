@@ -1,0 +1,185 @@
+"""Cached-prediction eval pipeline (matching/eval_pipeline.py).
+
+Covers: the AUC formula against the reference definition, the artifact
+round-trip (predictions.h5 / results.h5 / summaries.json), the conf-guard
+overwrite semantics (eval_pipeline.py:95-109), cache reuse (second run
+must NOT recompute predictions), and the HomographyEvalPipeline end-to-end
+on synthetic pairs producing the reference-shaped summary row.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from comet_tpu.matching.eval_pipeline import (
+    AUCMetric,
+    EvalPipeline,
+    HomographyEvalPipeline,
+    cal_error_auc,
+    eval_poses,
+    exists_eval,
+    export_predictions,
+    load_eval,
+    load_predictions,
+    save_eval,
+)
+
+pytestmark = pytest.mark.fast
+
+
+class TestAucFormula:
+    def test_golden_values(self):
+        """Hand-checked against the reference cal_error_auc
+        (gluefactory/utils/tools.py:137-149)."""
+        errs = [0.5, 1.5, 2.5, 10.0]
+        aucs = cal_error_auc(errs, [1.0, 3.0])
+        # t=1: recall hits 0.25 at e=0.5, flat to 1.0 -> (0.25*0.5)/2 + 0.25*0.5 = 0.1875
+        assert aucs[0] == pytest.approx(0.1875, abs=1e-4)
+        assert 0 < aucs[1] < 1
+        # perfect errors -> AUC ~ 1
+        assert cal_error_auc([0.0, 0.0], [1.0])[0] == pytest.approx(1.0)
+        # all beyond threshold -> 0
+        assert cal_error_auc([9.0, 9.0], [1.0])[0] == pytest.approx(0.0)
+
+    def test_auc_metric_update(self):
+        m = AUCMetric([1.0])
+        assert np.isnan(m.compute())
+        m.update(np.asarray([0.0, 2.0]))
+        assert m.compute()[0] == pytest.approx(0.5, abs=0.01)
+
+    def test_eval_poses_picks_best_threshold(self):
+        pose_results = {
+            0.5: {"H_error_ransac": [5.0, 6.0], "inl": [3, 4]},
+            2.0: {"H_error_ransac": [0.2, 0.4], "inl": [30, 40]},
+        }
+        summaries, best = eval_poses(pose_results, [1, 3], "H_error_ransac")
+        assert best == 2.0
+        assert summaries["H_error_ransac@1px"] > 0.5
+        assert summaries["minl"] == 35.0
+
+
+class TestArtifacts:
+    def test_predictions_roundtrip(self, tmp_path):
+        loader = [
+            {"name": "a", "x": 1.0},
+            {"name": "b", "x": 2.0},
+        ]
+        calls = []
+
+        def model(data):
+            calls.append(data["name"])
+            return {"kp": np.full((4, 2), data["x"]), "extra": np.ones(3)}
+
+        pf = export_predictions(
+            loader, model, str(tmp_path / "p.h5"), keys=["kp"],
+            optional_keys=["extra", "absent"],
+        )
+        assert calls == ["a", "b"]
+        row = load_predictions(pf, "b")
+        np.testing.assert_allclose(row["kp"], 2.0)
+        assert "extra" in row and "absent" not in row
+
+    def test_missing_required_key_raises(self, tmp_path):
+        with pytest.raises(KeyError, match="kp"):
+            export_predictions(
+                [{"name": "a"}], lambda d: {}, str(tmp_path / "p.h5"),
+                keys=["kp"],
+            )
+
+    def test_save_load_eval(self, tmp_path):
+        d = str(tmp_path)
+        summaries = {"mprec": 0.75, "bad": float("inf"), "lst": [1, 2]}
+        results = {"err": [0.1, 0.2], "names": ["a", "b"]}
+        save_eval(d, summaries, results)
+        assert exists_eval(d)
+        s, r = load_eval(d)
+        assert s["mprec"] == 0.75
+        assert np.isnan(s["bad"])  # inf -> null -> nan, reference behavior
+        assert s["lst"] == [1, 2]
+        np.testing.assert_allclose(r["err"], [0.1, 0.2])
+        assert list(r["names"]) == ["a", "b"]
+
+
+class _TinyPipeline(EvalPipeline):
+    default_conf = {
+        "data": {"n": 3},
+        "model": {"scale": 1.0},
+        "eval": {"th": 1.0},
+    }
+    export_keys = ["val"]
+
+    def get_dataloader(self):
+        return [{"name": f"i{i}"} for i in range(self.conf["data"]["n"])]
+
+    def get_model(self):
+        _TinyPipeline.model_builds += 1
+        s = self.conf["model"]["scale"]
+        return lambda data: {"val": np.asarray([s * float(data["name"][1:])])}
+
+    def run_eval(self, loader, pred_file):
+        vals = [
+            float(load_predictions(pred_file, d["name"])["val"][0])
+            for d in loader
+        ]
+        return {"mean_val": float(np.mean(vals))}, {"vals": vals}
+
+    model_builds = 0
+
+
+class TestDriver:
+    def test_run_and_cache_reuse(self, tmp_path):
+        _TinyPipeline.model_builds = 0
+        p = _TinyPipeline()
+        d = str(tmp_path / "exp")
+        s1, r1 = p.run(d)
+        assert s1["mean_val"] == 1.0
+        assert _TinyPipeline.model_builds == 1
+        # second run: predictions AND eval come from cache
+        s2, _ = p.run(d)
+        assert s2 == s1
+        assert _TinyPipeline.model_builds == 1
+
+    def test_conf_guard(self, tmp_path):
+        d = str(tmp_path / "exp")
+        _TinyPipeline().run(d)
+        changed = _TinyPipeline({"model": {"scale": 2.0}})
+        with pytest.raises(RuntimeError, match="overwrite"):
+            changed.run(d)
+        s, _ = changed.run(d, overwrite=True)
+        assert s["mean_val"] == 2.0
+
+    def test_eval_conf_guard(self, tmp_path):
+        d = str(tmp_path / "exp")
+        _TinyPipeline().run(d)
+        changed = _TinyPipeline({"eval": {"th": 2.0}})
+        with pytest.raises(RuntimeError, match="overwrite_eval"):
+            changed.run(d)
+        changed.run(d, overwrite_eval=True)  # eval-only change OK
+
+
+class TestHomographyPipeline:
+    def test_end_to_end(self, tmp_path):
+        p = HomographyEvalPipeline(
+            {"data": {"n_pairs": 3, "image_size": 64},
+             "eval": {"ransac_th": [1.0, 3.0]}}
+        )
+        s, r = p.run(str(tmp_path / "exp"))
+        # reference-shaped summary keys (hpatches.py:131-155)
+        for key in ("mnum_matches", "mprec@3px", "H_error_ransac@1px",
+                    "H_error_ransac@3px", "H_error_ransac@5px",
+                    "H_error_ransac_mAA", "H_error_dlt@3px"):
+            assert key in s, key
+        assert len(r["H_error_ransac"]) == 3
+        assert len(r["names"]) == 3
+        # synthetic pairs are easy: the robust H should be correct
+        assert s["H_error_ransac_mAA"] > 0.3
+        # cached second run identical (modulo NaN placeholders)
+        s2, _ = p.run(str(tmp_path / "exp"))
+        assert set(s2) == set(s)
+        for k, v in s.items():
+            if isinstance(v, float) and np.isnan(v):
+                assert np.isnan(s2[k])
+            else:
+                assert s2[k] == v, k
