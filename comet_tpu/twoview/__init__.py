@@ -46,3 +46,21 @@ from .align import (
     farthest_point_sample,
 )
 from .pnp import PnPResult, solve_pnp, solve_pnp_batched, solve_pnp_focal_sweep
+from .robust_estimators import (
+    BaseEstimator,
+    register_estimator,
+    load_estimator,
+    get_estimator,
+    list_estimators,
+)
+from .scene_ba import (
+    triangulate_by_pair,
+    triangulation_angles_deg,
+    camera_centers,
+    init_ba,
+    refine_poses,
+    filter_points3d,
+    reconstruct_scene,
+    InitBAResult,
+    SceneReconstruction,
+)
