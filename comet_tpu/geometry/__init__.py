@@ -30,3 +30,15 @@ from .codecs import (
     encode_relative_xyz,
     decode_relative_xyz,
 )
+from .fov_cameras import (
+    FoVPerspectiveCameras,
+    FoVOrthographicCameras,
+    OrthographicCameras,
+    fov_perspective_projection,
+    fov_orthographic_projection,
+    sfm_calibration_matrix,
+    ndc_to_screen_transform,
+    screen_to_ndc_transform,
+    ndc_to_grid_sample_coords,
+    ndc_grid_sample,
+)
