@@ -398,3 +398,220 @@ class HomographyEvalPipeline(EvalPipeline):
         results = {**results, **pose_results[best_th]}
         summaries = {**summaries, **best_pose}
         return summaries, dict(results)
+
+
+# ------------------------------------------------- relative-pose pipeline
+
+def relative_pose_error_deg(r_gt, t_gt, r, t):
+    """(t_err, r_err) in degrees (gluefactory/geometry/epipolar.py
+    relative_pose_error): rotation geodesic angle + translation-direction
+    angle, direction error symmetrized over sign (scale is unobservable)."""
+    r_gt = np.asarray(r_gt, np.float64)
+    r = np.asarray(r, np.float64)
+    cos = (np.trace(r.T @ r_gt) - 1.0) / 2.0
+    r_err = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+    a = np.asarray(t_gt, np.float64).ravel()
+    b = np.asarray(t, np.float64).ravel()
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    if denom < 1e-12:
+        return 0.0, float(r_err)
+    cos_t = np.abs(np.dot(a, b)) / denom  # sign-symmetric
+    t_err = np.degrees(np.arccos(np.clip(cos_t, 0.0, 1.0)))
+    return float(t_err), float(r_err)
+
+
+def sampson_distance_normalized(kpts0, kpts1, k0, k1, r, t):
+    """Per-match Sampson epipolar distance in NORMALIZED image coordinates
+    given a relative pose (the essential-matrix analog of
+    generalized_epi_dist(..., essential=True) used by
+    eval_matches_epipolar, gluefactory/eval/utils.py:53-61)."""
+    k0i = np.linalg.inv(np.asarray(k0, np.float64))
+    k1i = np.linalg.inv(np.asarray(k1, np.float64))
+    x0 = np.concatenate([kpts0, np.ones_like(kpts0[:, :1])], -1) @ k0i.T
+    x1 = np.concatenate([kpts1, np.ones_like(kpts1[:, :1])], -1) @ k1i.T
+    tx = np.asarray(
+        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]], np.float64
+    )
+    e = tx @ np.asarray(r, np.float64)
+    ex0 = x0 @ e.T
+    etx1 = x1 @ e
+    num = np.sum(x1 * ex0, -1) ** 2
+    den = ex0[:, 0] ** 2 + ex0[:, 1] ** 2 + etx1[:, 0] ** 2 + etx1[:, 1] ** 2
+    return np.sqrt(num / np.maximum(den, 1e-15))
+
+
+def make_synthetic_pose_pairs(
+    n_pairs=6, n_points=96, image_size=256, focal=300.0, noise=0.4,
+    outlier_frac=0.15, seed=0,
+):
+    """Offline stand-in for the MegaDepth-1500 / ETH3D image-pair datasets
+    (their images/zips are unreachable without network): random 3-D point
+    clouds seen by two cameras with known relative pose, projected with
+    pixel noise; a fraction of matches is corrupted outright. Items carry
+    the reference-shaped fields (view cameras, T_0to1) plus the projected
+    correspondences the oracle model exports."""
+    rng = np.random.default_rng(seed)
+    k = np.asarray(
+        [[focal, 0, image_size / 2], [0, focal, image_size / 2], [0, 0, 1.0]],
+        np.float64,
+    )
+    items = []
+    for i in range(n_pairs):
+        ang = rng.uniform(0.08, 0.3)
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        kx = np.asarray(
+            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+             [-axis[1], axis[0], 0]]
+        )
+        r = np.eye(3) + np.sin(ang) * kx + (1 - np.cos(ang)) * (kx @ kx)
+        t = rng.normal(size=3)
+        # well-conditioned geometry: deep structure (depth 4 +- 1.5) and a
+        # baseline comparable to the depth spread — a near-planar cloud
+        # with a tiny baseline makes the translation direction genuinely
+        # unobservable at sub-pixel noise (measured ~6 deg direction error
+        # for a CLEAN-weighted 8-point fit on depth 4 +- 0.6 scenes)
+        t = t / np.linalg.norm(t) * rng.uniform(0.8, 1.5)
+        pts = rng.uniform(-1, 1, size=(n_points, 3))
+        pts[:, 2] = pts[:, 2] * 1.5 + 4.5
+
+        def project(p):
+            uv = p @ k.T
+            return uv[:, :2] / uv[:, 2:]
+
+        p0 = project(pts) + rng.normal(size=(n_points, 2)) * noise
+        p1 = project(pts @ r.T + t) + rng.normal(size=(n_points, 2)) * noise
+        n_out = int(n_points * outlier_frac)
+        p1[:n_out] = rng.uniform(0, image_size, size=(n_out, 2))
+        items.append({
+            "name": f"pair{i:04d}",
+            "K0": k.astype(np.float32), "K1": k.astype(np.float32),
+            "R_0to1": r.astype(np.float32),
+            "t_0to1": t.astype(np.float32),
+            "kpts_proj0": p0.astype(np.float32),
+            "kpts_proj1": p1.astype(np.float32),
+            "scene": f"scene{i % 2}",
+        })
+    return items
+
+
+class RelativePoseEvalPipeline(EvalPipeline):
+    """MegaDepth1500/ETH3D-style relative-pose evaluation
+    (gluefactory/eval/megadepth1500.py:26-131 + eval/utils.py
+    eval_matches_epipolar:40-65 / eval_relative_pose_robust:94-129):
+    per-pair epipolar match precision at 1e-4/5e-4/1e-3 (normalized
+    Sampson), robust essential-matrix estimation swept over RANSAC
+    thresholds, rel_pose_error = max(R_err, t_err) degrees, AUC@5/10/20
+    with best-mAA threshold selection, inlier-count summaries.
+
+    The default model is the projected-correspondence oracle (this
+    environment cannot download the reference's image sets); pass a
+    `model` callable exporting keypoints0/keypoints1/matches0/
+    matching_scores0 to evaluate a real extractor+matcher.
+    """
+
+    default_conf = {
+        "data": {"n_pairs": 6, "n_points": 96, "image_size": 256,
+                 "focal": 300.0, "noise": 0.4, "outlier_frac": 0.15,
+                 "seed": 0},
+        "model": {},
+        "eval": {"estimator": "ransac", "ransac_th": -1.0,
+                 "auc_ths": [5, 10, 20]},
+    }
+    export_keys = [
+        "keypoints0", "keypoints1", "matches0", "matching_scores0",
+    ]
+
+    def get_dataloader(self):
+        return make_synthetic_pose_pairs(**self.conf["data"])
+
+    def get_model(self):
+        def oracle(data):
+            n = data["kpts_proj0"].shape[0]
+            return {
+                "keypoints0": data["kpts_proj0"],
+                "keypoints1": data["kpts_proj1"],
+                "matches0": np.arange(n, dtype=np.int64),
+                "matching_scores0": np.ones(n, np.float32),
+            }
+
+        return oracle
+
+    def run_eval(self, loader, pred_file):
+        from ..twoview.robust_estimators import get_estimator
+
+        conf = self.conf["eval"]
+        ths = conf["ransac_th"]
+        test_ths = (
+            [ths] if np.isscalar(ths) and ths > 0
+            else [0.5, 1.0, 1.5, 2.0, 2.5, 3.0] if np.isscalar(ths)
+            else list(ths)
+        )
+        results = defaultdict(list)
+        pose_results: Dict[float, Dict[str, List[float]]] = defaultdict(
+            lambda: defaultdict(list)
+        )
+        for data in loader:
+            pred = load_predictions(pred_file, data["name"])
+            k0, k1 = pred["keypoints0"], pred["keypoints1"]
+            m0 = pred["matches0"]
+            valid = m0 >= 0
+            pts0 = k0[valid]
+            pts1 = k1[np.clip(m0[valid], 0, len(k1) - 1)]
+
+            epi = sampson_distance_normalized(
+                pts0, pts1, data["K0"], data["K1"],
+                data["R_0to1"], data["t_0to1"],
+            )
+            row = {
+                "epi_prec@1e-4": float((epi < 1e-4).mean()),
+                "epi_prec@5e-4": float((epi < 5e-4).mean()),
+                "epi_prec@1e-3": float((epi < 1e-3).mean()),
+                "num_matches": int(valid.sum()),
+            }
+
+            import jax.numpy as jnp
+
+            for th in test_ths:
+                est = get_estimator(
+                    "relative_pose", conf["estimator"], {"ransac_th": th}
+                )
+                out = est({
+                    "m_kpts0": jnp.asarray(pts0, jnp.float32),
+                    "m_kpts1": jnp.asarray(pts1, jnp.float32),
+                    "K0": data["K0"], "K1": data["K1"],
+                })
+                if out["success"]:
+                    r_est, t_est = out["M_0to1"]
+                    t_err, r_err = relative_pose_error_deg(
+                        data["R_0to1"], data["t_0to1"],
+                        np.asarray(r_est), np.asarray(t_est),
+                    )
+                    inl = np.asarray(out["inliers"])
+                    pr = pose_results[th]
+                    pr["rel_pose_error"].append(max(r_err, t_err))
+                    pr["ransac_inl"].append(float(inl.sum()))
+                    pr["ransac_inl%"].append(float(inl.mean()))
+                else:
+                    pr = pose_results[th]
+                    pr["rel_pose_error"].append(float("inf"))
+                    pr["ransac_inl"].append(0.0)
+                    pr["ransac_inl%"].append(0.0)
+
+            row["names"] = data["name"]
+            row["scenes"] = data["scene"]
+            for key, v in row.items():
+                results[key].append(v)
+
+        summaries = {}
+        for key, v in results.items():
+            arr = np.asarray(v)
+            if np.issubdtype(arr.dtype, np.number):
+                summaries[f"m{key}"] = round(float(np.median(arr)), 3)
+        best_pose, best_th = eval_poses(
+            pose_results, auc_ths=list(conf["auc_ths"]),
+            key="rel_pose_error", unit="°",
+        )
+        results = {**results, **pose_results[best_th]}
+        summaries = {**summaries, **best_pose}
+        return summaries, dict(results)

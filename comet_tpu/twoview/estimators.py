@@ -289,6 +289,19 @@ def estimate_essential_ransac(
     n1 = (to_homogeneous(pts1) @ k1i.T)[:, :2]
     n2 = (to_homogeneous(pts2) @ k2i.T)[:, :2]
     res = _ransac(run_8point, sampson_distance, 8, n1, n2, key, threshold, num_hypotheses)
+    # LO step (utils.py:325 capability, same as the fundamental path): an
+    # 8-point minimal-sample model is noise-limited — refit on the full
+    # inlier set before the essential projection (without this, 0.4 px of
+    # pixel noise cost tens of degrees of translation direction)
+    e_refit = run_8point(n1, n2, weights=res.inliers.astype(n1.dtype))
+    errs = sampson_distance(e_refit, n1, n2)
+    inl = errs < threshold
+    better = inl.sum() >= res.score
+    res = RansacResult(
+        model=jnp.where(better, e_refit, res.model),
+        inliers=jnp.where(better, inl, res.inliers),
+        score=jnp.maximum(inl.sum(), res.score),
+    )
     u, s, vt = jnp.linalg.svd(res.model)
     e = (u * jnp.asarray([1.0, 1.0, 0.0])[None, :]) @ vt
     r, t = motion_from_essential(e, n1, n2)

@@ -92,7 +92,9 @@ class RansacHomographyEstimator(BaseEstimator):
 
         res = estimate_homography_ransac(
             jnp.asarray(data["m_kpts0"]), jnp.asarray(data["m_kpts1"]),
-            key=self._key(), threshold=self.conf["ransac_th"],
+            key=self._key(),
+            # transfer error is SQUARED px — square the pixel threshold
+            threshold=float(self.conf["ransac_th"]) ** 2,
             num_hypotheses=self.conf["num_hypotheses"],
         )
         return {
@@ -116,7 +118,10 @@ class DltHomographyEstimator(BaseEstimator):
         p0 = jnp.asarray(data["m_kpts0"])
         p1 = jnp.asarray(data["m_kpts1"])
         h = run_homography_dlt(p0, p1, weights=data.get("weights"))
-        inl = homography_transfer_error(h, p0, p1) < self.conf["ransac_th"]
+        inl = (
+            homography_transfer_error(h, p0, p1)
+            < float(self.conf["ransac_th"]) ** 2  # squared px error
+        )
         return {"success": bool(inl.sum() >= 4), "M_0to1": h, "inliers": inl}
 
 
@@ -146,10 +151,12 @@ class RansacRelativePoseEstimator(BaseEstimator):
         k0 = jnp.asarray(data["K0"], jnp.float32)
         k1 = jnp.asarray(data["K1"], jnp.float32)
         f_mean = (k0[0, 0] + k0[1, 1] + k1[0, 0] + k1[1, 1]) / 4.0
+        # sampson_distance is SQUARED (two_view_geo/utils.py:90 parity) —
+        # the pixel threshold normalizes by the focal, then squares
         res, r, t = estimate_essential_ransac(
             jnp.asarray(data["m_kpts0"]), jnp.asarray(data["m_kpts1"]),
             k0, k1, key=self._key(),
-            threshold=float(self.conf["ransac_th"] / f_mean),
+            threshold=float(self.conf["ransac_th"] / f_mean) ** 2,
             num_hypotheses=self.conf["num_hypotheses"],
         )
         return _relpose_from_essential(res, r, t, data["m_kpts0"].shape[0])
@@ -173,7 +180,7 @@ class NisterRelativePoseEstimator(BaseEstimator):
         res, r, t = estimate_essential_5point_ransac(
             jnp.asarray(data["m_kpts0"]), jnp.asarray(data["m_kpts1"]),
             k0, k1, key=self._key(),
-            threshold=float(self.conf["ransac_th"] / f_mean),
+            threshold=float(self.conf["ransac_th"] / f_mean) ** 2,
             num_hypotheses=self.conf["num_hypotheses"],
         )
         return _relpose_from_essential(res, r, t, data["m_kpts0"].shape[0])
@@ -192,7 +199,8 @@ class RansacFundamentalEstimator(BaseEstimator):
 
         res = estimate_fundamental_ransac(
             jnp.asarray(data["m_kpts0"]), jnp.asarray(data["m_kpts1"]),
-            key=self._key(), threshold=self.conf["ransac_th"],
+            key=self._key(),
+            threshold=float(self.conf["ransac_th"]) ** 2,  # squared sampson
             num_hypotheses=self.conf["num_hypotheses"],
         )
         return {

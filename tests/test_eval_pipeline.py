@@ -183,3 +183,120 @@ class TestHomographyPipeline:
                 assert np.isnan(s2[k])
             else:
                 assert s2[k] == v, k
+
+
+class TestRelativePosePipeline:
+    def test_end_to_end(self, tmp_path):
+        """Oracle correspondences with 15% outliers through the full
+        export -> cache -> robust-eval chain: the best-threshold summary
+        must recover the pose (high AUC, low median error) and the
+        reference-shaped keys must be present
+        (megadepth1500.py summary surface)."""
+        from comet_tpu.matching.eval_pipeline import RelativePoseEvalPipeline
+
+        # noise 0.15 px: the reference's epi-precision gates (1e-4..1e-3
+        # normalized) assume sub-pixel matches; 0.15 px at f=300 sits at
+        # ~6e-4 normalized Sampson, inside the 1e-3 gate
+        pipe = RelativePoseEvalPipeline(
+            {"data": {"n_pairs": 4, "n_points": 80, "noise": 0.15},
+             "eval": {"ransac_th": [1.0, 2.0]}}
+        )
+        summaries, results = pipe.run(str(tmp_path / "exp"))
+        for key in ("rel_pose_error@5°", "rel_pose_error@10°",
+                    "rel_pose_error@20°", "rel_pose_error_mAA",
+                    "mepi_prec@1e-3", "mransac_inl%"):
+            assert key in summaries, sorted(summaries)
+        assert summaries["rel_pose_error_mAA"] > 0.5, summaries
+        assert np.median(results["rel_pose_error"]) < 5.0
+        # epipolar precision: inliers dominate at the 1e-3 gate
+        assert summaries["mepi_prec@1e-3"] > 0.6
+
+    def test_pose_error_helpers(self):
+        from comet_tpu.matching.eval_pipeline import (
+            relative_pose_error_deg,
+            sampson_distance_normalized,
+        )
+
+        r = np.eye(3)
+        t = np.asarray([1.0, 0, 0])
+        t_err, r_err = relative_pose_error_deg(r, t, r, -t)
+        assert r_err == pytest.approx(0.0, abs=1e-6)
+        assert t_err == pytest.approx(0.0, abs=1e-3)  # sign-symmetric
+
+        # perfect correspondences have ~zero sampson distance
+        rng = np.random.default_rng(0)
+        k = np.asarray([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]])
+        pts = rng.uniform(-1, 1, size=(50, 3))
+        pts[:, 2] += 4.0
+        p0 = (pts @ k.T)
+        p0 = p0[:, :2] / p0[:, 2:]
+        theta = 0.2
+        rr = np.asarray(
+            [[np.cos(theta), 0, np.sin(theta)], [0, 1, 0],
+             [-np.sin(theta), 0, np.cos(theta)]]
+        )
+        tt = np.asarray([0.5, 0.1, 0.05])
+        p1 = (pts @ rr.T + tt) @ k.T
+        p1 = p1[:, :2] / p1[:, 2:]
+        d = sampson_distance_normalized(p0, p1, k, k, rr, tt)
+        assert np.max(d) < 1e-8
+
+
+class TestNewExtractors:
+    def test_disk_registered_and_shapes(self):
+        from comet_tpu.matching.registry import get_model
+
+        rng = np.random.default_rng(0)
+        img = rng.random((48, 64, 3)).astype(np.float32)
+        out = get_model("extractor_disk", max_keypoints=32)(img)
+        assert out["keypoints"].shape == (32, 2)
+        assert out["descriptors"].shape == (32, 128)
+        # descriptors unit-normalized
+        norms = np.linalg.norm(np.asarray(out["descriptors"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        # valid keypoints inside the (unpadded) image
+        v = np.asarray(out["valid"])
+        kp = np.asarray(out["keypoints"])[v]
+        assert (kp[:, 0] < 64).all() and (kp[:, 1] < 48).all()
+
+    def test_keynet_registered_and_shapes(self):
+        from comet_tpu.matching.registry import get_model
+
+        rng = np.random.default_rng(1)
+        img = rng.random((48, 64)).astype(np.float32)
+        out = get_model("extractor_keynet", max_keypoints=32)(img)
+        assert out["keypoints"].shape == (32, 2)
+        assert out["descriptors"].shape == (32, 128)
+        assert out["scales"].shape == (32,)
+        norms = np.linalg.norm(np.asarray(out["descriptors"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    def test_disk_nms_suppresses_neighbors(self):
+        """heatmap_to_keypoints: two peaks inside one window collapse to
+        the stronger one; peaks respect the threshold gate."""
+        from comet_tpu.models.disk import heatmap_to_keypoints
+
+        hm = np.zeros((32, 32), np.float32)
+        hm[10, 10] = 2.0
+        hm[10, 12] = 1.5  # within the 5-window of (10,10) -> suppressed
+        hm[20, 20] = 1.0
+        kpts, scores, valid = heatmap_to_keypoints(
+            jnp.asarray(hm), n=8, window_size=5, score_threshold=0.5
+        )
+        got = {tuple(map(int, k)) for k, va in zip(np.asarray(kpts), np.asarray(valid)) if va}
+        assert (10, 10) in got and (20, 20) in got
+        assert (12, 10) not in got
+        assert int(np.asarray(valid).sum()) == 2
+
+    def test_keynet_handcrafted_block_derivatives(self):
+        """gx responds to a vertical edge, gy to a horizontal one."""
+        from comet_tpu.models.keynet import handcrafted_block
+
+        img = np.zeros((1, 16, 16, 1), np.float32)
+        img[:, :, 8:, :] = 1.0  # vertical edge at x=8
+        f = np.asarray(handcrafted_block(jnp.asarray(img)))[0]
+        assert np.abs(f[8, 8, 0]) > 0.1  # gx channel
+        assert np.abs(f[8, 8, 1]) < 1e-6  # gy channel
+
+
+import jax.numpy as jnp  # noqa: E402  (used by TestNewExtractors)
