@@ -367,9 +367,28 @@ def cmd_demo(args):
             args.output_dir, f"{sample.seq_name.replace('/', '_')}_scene.glb"
         )
         export_glb_scene(glb_path, pts3d, cols, list(rs), list(np.asarray(t)))
+
+        # interactive HTML viewer (offline gradio.py:50 equivalent) +
+        # reprojection overlay video (utils.py:437 capability)
+        from .utils.scene_export import export_scene_html
+        from .utils.visualize import save_reprojection_video
+
+        base = glb_path[: -len(".glb")]
+        export_scene_html(
+            base + ".html", pts3d, cols, np.asarray(q), np.asarray(t)
+        )
+        keep = np.asarray(mask.sum(0) > 0)
+        try:
+            save_reprojection_video(
+                base + "_reproj.mp4", np.asarray(sample.images),
+                pts3d, np.asarray(quat_to_matrix(q)), np.asarray(t),
+                np.asarray(k_mat), valid=keep,
+            )
+        except Exception as exc:  # pragma: no cover - cv2 codec dependent
+            print(f"warning: reprojection video failed ({exc!r})")
         print(
             f"saved {json_path} + {os.path.basename(glb_path)}"
-            f"  R_avg={metrics['R_avg']:.3f}"
+            f" (+.html, +_reproj.mp4)  R_avg={metrics['R_avg']:.3f}"
         )
 
 

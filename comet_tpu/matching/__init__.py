@@ -24,3 +24,12 @@ from .eval_pipeline import (
     exists_eval,
 )
 from .extractors import make_aliked
+from .lines import (
+    GlueStickMatcher,
+    LineSegments,
+    detect_line_segments,
+    match_lines_nn,
+    sample_line_descriptors,
+    sample_line_points,
+    make_wireframe,
+)

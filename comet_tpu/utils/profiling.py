@@ -64,9 +64,16 @@ def benchmark_fn(
       hoisted out of the scan (which previously measured 0.00 ms).
     """
     if checksum is None:
+        # sum EVERY leaf: a single-leaf checksum lets XLA dead-code-
+        # eliminate whole model branches that leaf doesn't depend on
+        # (measured: a first-leaf checksum reported the full COMET forward
+        # at 31 ms vs its true 75 ms device time)
         def checksum(out):
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.sum(leaf.astype(jnp.float32))
+            return sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(out)
+                if hasattr(leaf, "astype")
+            )
 
     def run_many(n, *a):
         leaves, treedef = jax.tree_util.tree_flatten(a)

@@ -206,3 +206,97 @@ def parse_glb(path: str):
         if btype == 0x004E4942:
             blob = rest[8 : 8 + blen]
     return gltf, blob
+
+
+_VIEWER_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>COMET scene</title>
+<style>body{margin:0;background:#101014;overflow:hidden}canvas{display:block}
+#hud{position:fixed;top:8px;left:10px;color:#9aa;font:12px monospace}</style>
+</head><body><div id="hud">drag: orbit &middot; wheel: zoom</div>
+<canvas id="c"></canvas><script>
+const PTS=__POINTS__;const COL=__COLORS__;const CAMS=__CAMERAS__;
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+let yaw=0.6,pitch=-0.4,dist=__DIST__,cx=__CX__,cy=__CY__,cz=__CZ__;
+function resize(){cv.width=innerWidth;cv.height=innerHeight}
+addEventListener('resize',resize);resize();
+let drag=false,lx=0,ly=0;
+cv.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY};
+onmouseup=()=>drag=false;
+onmousemove=e=>{if(!drag)return;yaw+=(e.clientX-lx)*0.008;
+pitch+=(e.clientY-ly)*0.008;lx=e.clientX;ly=e.clientY;draw()};
+cv.onwheel=e=>{dist*=e.deltaY>0?1.1:0.9;draw();e.preventDefault()};
+function draw(){ctx.fillStyle='#101014';ctx.fillRect(0,0,cv.width,cv.height);
+const cyaw=Math.cos(yaw),syaw=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+const f=0.9*Math.min(cv.width,cv.height);
+function proj(p){let x=p[0]-cx,y=p[1]-cy,z=p[2]-cz;
+let x1=cyaw*x+syaw*z,z1=-syaw*x+cyaw*z;
+let y2=cp*y+sp*z1,z2=-sp*y+cp*z1+dist;
+if(z2<0.05)return null;
+return [cv.width/2+f*x1/z2,cv.height/2+f*y2/z2,z2]}
+for(let i=0;i<PTS.length;i++){const q=proj(PTS[i]);if(!q)continue;
+const r=Math.max(1,3.5/q[2]*dist*0.35);
+ctx.fillStyle=COL[i];ctx.beginPath();
+ctx.arc(q[0],q[1],r,0,6.283);ctx.fill()}
+ctx.strokeStyle='#6cf';ctx.lineWidth=1;
+for(const cam of CAMS){ctx.beginPath();let first=true;
+for(const p of cam){const q=proj(p);if(!q){first=true;continue}
+if(first){ctx.moveTo(q[0],q[1]);first=false}else ctx.lineTo(q[0],q[1])}
+ctx.stroke()}}
+draw();</script></body></html>
+"""
+
+
+def export_scene_html(
+    path: str,
+    points: np.ndarray,  # [N, 3]
+    colors: np.ndarray = None,  # [N, 3] u8 or float
+    q: np.ndarray = None,  # [S, 4] wxyz camera rotations (row convention)
+    t: np.ndarray = None,  # [S, 3]
+    scale: float = 0.25,
+) -> str:
+    """Self-contained interactive HTML point-cloud/camera viewer — the
+    offline equivalent of the reference's gradio/trimesh scene app
+    (comet/utils/gradio.py:50): orbit + zoom over the reconstruction with
+    camera frusta, zero external assets (a ~2 KB canvas renderer, no
+    three.js download). Complements the GLB export for tooling that
+    expects a mesh file."""
+    import json
+    import os
+
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    if colors is None:
+        cols = ["#4fc3f7"] * len(pts)
+    else:
+        c = np.asarray(colors)
+        if c.dtype != np.uint8:
+            c = (np.clip(c, 0, 1) * 255).astype(np.uint8)
+        cols = ["#%02x%02x%02x" % tuple(int(v) for v in row) for row in c]
+
+    cams = []
+    if q is not None and t is not None:
+        from ..geometry.quaternions import quat_to_matrix
+        import jax.numpy as jnp
+
+        r = np.asarray(quat_to_matrix(jnp.asarray(q)))
+        for i in range(len(r)):
+            # repo quats are row-convention (x_cam = x @ R + T);
+            # camera_frustum_lines wants the column form -> transpose
+            lines = camera_frustum_lines(r[i].T, np.asarray(t)[i], scale)
+            cams.append(np.asarray(lines).reshape(-1, 3).tolist())
+
+    center = pts.mean(axis=0) if len(pts) else np.zeros(3)
+    spread = float(np.abs(pts - center).max()) if len(pts) else 1.0
+    html = (
+        _VIEWER_TEMPLATE
+        .replace("__POINTS__", json.dumps(np.round(pts, 4).tolist()))
+        .replace("__COLORS__", json.dumps(cols))
+        .replace("__CAMERAS__", json.dumps(cams))
+        .replace("__DIST__", str(round(spread * 3 + 1e-3, 4)))
+        .replace("__CX__", str(round(float(center[0]), 4)))
+        .replace("__CY__", str(round(float(center[1]), 4)))
+        .replace("__CZ__", str(round(float(center[2]), 4)))
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(html)
+    return path

@@ -143,3 +143,153 @@ def save_pose_axes_images(
         )
         cv2.imwrite(os.path.join(out_dir, f"pose_{i:04d}.png"), rendered[..., ::-1])
     return out_dir
+
+
+def project_scene_points(
+    points3d: np.ndarray,  # [N, 3] world
+    r: np.ndarray,  # [3, 3] row-convention rotation (x_cam = x @ R + T)
+    t: np.ndarray,  # [3]
+    k: np.ndarray,  # [3, 3]
+) -> tuple:
+    """Project world points into one view; returns (uv [N, 2], depth [N],
+    in_front [N])."""
+    cam = points3d @ r + t
+    depth = cam[:, 2]
+    pix = cam @ k.T
+    uv = pix[:, :2] / np.maximum(np.abs(pix[:, 2:]), 1e-8)
+    return uv, depth, depth > 1e-6
+
+
+def draw_reprojections(
+    images: np.ndarray,  # [S, H, W, 3] uint8 or normalized float
+    points3d: np.ndarray,  # [N, 3]
+    r: np.ndarray,  # [S, 3, 3] row-convention
+    t: np.ndarray,  # [S, 3]
+    k: np.ndarray,  # [3, 3]
+    valid: Optional[np.ndarray] = None,  # [N]
+    draw_radius: int = 3,
+    cmap: str = "gist_rainbow",
+    color_mode: str = "dis_to_center",
+) -> np.ndarray:
+    """Per-frame reprojection overlays of the reconstructed cloud
+    (create_video_with_reprojections capability,
+    comet/utils/utils.py:437-530): each 3-D point is drawn as a circle at
+    its reprojected location, colored by distance-to-scene-center
+    ("dis_to_center") or by per-view depth ("depth"). Returns [S, H, W, 3]
+    uint8 RGB frames."""
+    import cv2
+    import matplotlib
+
+    colormap = matplotlib.colormaps.get_cmap(cmap)
+    pts = np.asarray(points3d, np.float64)
+    keep = np.ones(len(pts), bool) if valid is None else np.asarray(valid, bool)
+    pts = pts[keep]
+
+    if color_mode == "dis_to_center":
+        center = pts.mean(axis=0) if len(pts) else np.zeros(3)
+        dis = np.linalg.norm(pts - center, axis=-1)
+        lo, hi = (dis.min(), dis.max()) if len(pts) else (0.0, 1.0)
+        norm = (dis - lo) / max(hi - lo, 1e-8)
+        static_colors = (np.asarray(colormap(norm))[:, :3] * 255).astype(np.uint8)
+    else:
+        static_colors = None
+
+    frames = []
+    for i in range(len(images)):
+        img = np.asarray(images[i])
+        frame = (
+            denormalize_image(img) if img.dtype != np.uint8 else img.copy()
+        )
+        frame = np.ascontiguousarray(frame)
+        uv, depth, front = project_scene_points(pts, r[i], t[i], k)
+        if color_mode == "depth" and front.any():
+            lo, hi = depth[front].min(), depth[front].max()
+            norm = (depth - lo) / max(hi - lo, 1e-8)
+            colors = (np.asarray(colormap(norm))[:, :3] * 255).astype(np.uint8)
+        else:
+            colors = static_colors
+        h, w = frame.shape[:2]
+        inside = front & (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+        for j in np.nonzero(inside)[0]:
+            cv2.circle(
+                frame, (int(uv[j, 0]), int(uv[j, 1])), draw_radius,
+                colors[j].tolist() if colors is not None else (0, 255, 0), -1,
+            )
+        frames.append(frame)
+    return np.stack(frames)
+
+
+def save_reprojection_video(
+    path: str,
+    images: np.ndarray,
+    points3d: np.ndarray,
+    r: np.ndarray,
+    t: np.ndarray,
+    k: np.ndarray,
+    valid: Optional[np.ndarray] = None,
+    fps: int = 8,
+    **kwargs,
+) -> str:
+    """Reprojection MP4 (create_video_with_reprojections + imageio writer
+    capability, utils.py:437,530-560)."""
+    import cv2
+
+    frames = draw_reprojections(images, points3d, r, t, k, valid, **kwargs)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    h, w = frames.shape[1:3]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for f in frames:
+        writer.write(f[..., ::-1])
+    writer.release()
+    return path
+
+
+def depth_map_visual(
+    depth_map: np.ndarray,  # [H, W]
+    raw_img: np.ndarray,  # [H, W, 3] uint8 RGB
+    output_path: Optional[str] = None,
+    cmap: str = "Spectral_r",
+) -> np.ndarray:
+    """Side-by-side raw | colormapped-depth panel
+    (create_depth_map_visual parity, comet/utils/utils.py:583-609: min-max
+    normalize to u8, Spectral_r colormap, 50-px white split, hconcat).
+    Returns the combined RGB u8 image; writes a PNG when output_path is
+    given."""
+    import matplotlib
+
+    d = np.asarray(depth_map, np.float64)
+    lo, hi = d.min(), d.max()
+    visual = ((d - lo) / max(hi - lo, 1e-12) * 255.0).astype(np.uint8)
+    colormap = matplotlib.colormaps.get_cmap(cmap)
+    visual = (np.asarray(colormap(visual))[:, :, :3] * 255).astype(np.uint8)
+    split = np.full((raw_img.shape[0], 50, 3), 255, np.uint8)
+    combined = np.concatenate([np.asarray(raw_img), split, visual], axis=1)
+    if output_path:
+        from PIL import Image
+
+        os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+        Image.fromarray(combined).save(output_path)
+    return combined
+
+
+def sparse_depth_from_scene(
+    points3d: np.ndarray,  # [N, 3]
+    r: np.ndarray,  # [S, 3, 3]
+    t: np.ndarray,  # [S, 3]
+    k: np.ndarray,
+    hw: tuple,
+    valid: Optional[np.ndarray] = None,
+) -> list:
+    """Per-frame sparse depth samples [(uv [M, 2], depth [M])] from the
+    reconstruction — the sparse_depth dict of utils.py:437's caller
+    (triangulator.py's depth alignment input)."""
+    pts = np.asarray(points3d, np.float64)
+    if valid is not None:
+        pts = pts[np.asarray(valid, bool)]
+    h, w = hw
+    out = []
+    for i in range(len(r)):
+        uv, depth, front = project_scene_points(pts, r[i], t[i], k)
+        inside = front & (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+        out.append((uv[inside], depth[inside]))
+    return out
