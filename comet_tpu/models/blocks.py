@@ -155,9 +155,62 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares the params of an nn.Dense (same names/initializers) without
+    applying it, so a fused kernel can consume them directly."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class _MHAParams(nn.Module):
+    """Param tree of MultiHeadAttention, declared without applying it."""
+
+    @nn.compact
+    def __call__(self, e):
+        kernel = self.param(
+            "in_proj_kernel", nn.initializers.lecun_normal(), (e, 3 * e)
+        )
+        bias = self.param("in_proj_bias", nn.initializers.zeros_init(), (3 * e,))
+        wout, bout = _DenseParams(e, name="out_proj")(e)
+        return kernel, bias, wout, bout
+
+
+class _MlpParams(nn.Module):
+    """Param tree of Mlp, declared without applying it."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, e):
+        w1, b1 = _DenseParams(self.hidden, name="fc1")(e)
+        w2, b2 = _DenseParams(e, name="fc2")(self.hidden)
+        return w1, b1, w2, b2
+
+
+def _fused_block_enabled() -> bool:
+    import os
+
+    return os.environ.get("COMET_FUSED_BLOCK", "1") != "0"
+
+
 class AttnBlock(nn.Module):
     """Self-attention block (modules.py:248-295). NOTE: the residual stream
-    is re-based on the normalized input, exactly like the reference."""
+    is re-based on the normalized input, exactly like the reference.
+
+    For small-sequence many-row shapes (the track updateformers' time and
+    virtual-space blocks: L <= 64, rows >= 256) the whole block lowers to
+    ONE Pallas kernel (ops/pallas_block.fused_attn_block) that keeps every
+    intermediate in VMEM; the param tree is identical in both paths, so
+    checkpoints and the torch converter are unaffected. COMET_FUSED_BLOCK=0
+    disables the kernel path."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -166,6 +219,26 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         e = x.shape[-1]
+        if (
+            mask is None
+            and x.ndim == 3
+            and x.shape[1] <= 64
+            and x.shape[0] * x.shape[1] >= 256
+            and _fused_block_enabled()
+        ):
+            from ..ops.pallas_block import fused_attn_block
+
+            wqkv, bqkv, wout, bout = _MHAParams(name="attn")(e)
+            w1, b1, w2, b2 = _MlpParams(int(e * self.mlp_ratio), name="mlp")(e)
+            dt = self.dtype
+            return fused_attn_block(
+                x.astype(dt),
+                wqkv.astype(dt), bqkv.astype(dt),
+                wout.astype(dt), bout.astype(dt),
+                w1.astype(dt), b1.astype(dt),
+                w2.astype(dt), b2.astype(dt),
+                self.num_heads,
+            )
         x = FusedLayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm1",
