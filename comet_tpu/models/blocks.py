@@ -195,10 +195,29 @@ class _MlpParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _LNParams(nn.Module):
+    """Param tree of an affine FusedLayerNorm, declared without applying."""
+
+    @nn.compact
+    def __call__(self, e):
+        scale = self.param("scale", nn.initializers.ones_init(), (e,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (e,))
+        return scale, bias
+
+
 def _fused_block_enabled() -> bool:
     import os
 
     return os.environ.get("COMET_FUSED_BLOCK", "1") != "0"
+
+
+def _fused_cross_enabled() -> bool:
+    # Default OFF: the fused cross kernel wins its microbenchmark but
+    # regresses the end-to-end forward ~5% (13.94 -> 13.05 seq/s measured —
+    # see PROFILE.md negative results); COMET_FUSED_CROSS=1 re-enables.
+    import os
+
+    return os.environ.get("COMET_FUSED_CROSS", "0") == "1"
 
 
 class AttnBlock(nn.Module):
@@ -257,7 +276,13 @@ class AttnBlock(nn.Module):
 
 
 class CrossAttnBlock(nn.Module):
-    """Cross-attention block (modules.py:298-344)."""
+    """Cross-attention block (modules.py:298-344).
+
+    A fully fused Pallas kernel exists for qualifying shapes (Lq <= 512,
+    Lk <= 1024, rows >= 256 — the updateformers' virtual<->point space
+    blocks) with an identical param tree, but it is OFF by default: it
+    wins its microbenchmark yet regresses the end-to-end forward ~5%
+    (PROFILE.md negative results). COMET_FUSED_CROSS=1 enables it."""
 
     num_heads: int = 1
     mlp_ratio: float = 4.0
@@ -266,6 +291,31 @@ class CrossAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, mask=None):
         e = x.shape[-1]
+        if (
+            mask is None
+            and x.ndim == 3
+            and context.ndim == 3
+            and x.shape[1] <= 512
+            and context.shape[1] <= 1024
+            and x.shape[0] * x.shape[1] >= 256
+            and _fused_cross_enabled()
+        ):
+            from ..ops.pallas_block import fused_cross_block
+
+            gamma, beta = _LNParams(name="norm_context")(e)
+            wqkv, bqkv, wout, bout = _MHAParams(name="cross_attn")(e)
+            w1, b1, w2, b2 = _MlpParams(int(e * self.mlp_ratio), name="mlp")(e)
+            dt = self.dtype
+            return fused_cross_block(
+                x.astype(dt), context.astype(dt),
+                gamma.astype(dt), beta.astype(dt),
+                wqkv[:, :e].astype(dt), bqkv[:e].astype(dt),
+                wqkv[:, e:].astype(dt), bqkv[e:].astype(dt),
+                wout.astype(dt), bout.astype(dt),
+                w1.astype(dt), b1.astype(dt),
+                w2.astype(dt), b2.astype(dt),
+                self.num_heads,
+            )
         x = FusedLayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
             name="norm1",

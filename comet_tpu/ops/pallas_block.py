@@ -203,6 +203,207 @@ def _fb_bwd(num_heads, res, g):
 _fused_block.defvjp(_fb_fwd, _fb_bwd)
 
 
+def _cross_reference(
+    x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2, b2,
+    num_heads,
+):
+    """Plain-jnp CrossAttnBlock on [B, Lq, C] / [B, Lk, C] — the semantic
+    spec of the cross kernel AND its backward (modules.py:298-344 parity:
+    norm1/norm2 scale-free, norm_context affine, residual re-based on the
+    normalized query stream)."""
+    c = x.shape[-1]
+    d = c // num_heads
+    scale = 1.0 / (d ** 0.5)
+    xn = _ln(x)
+    cn = _ln(ctx) * gamma + beta
+    q = xn @ wq + bq
+    kv = cn @ wkv + bkv
+    k, v = jnp.split(kv, 2, axis=-1)
+    b, lq, _ = x.shape
+    lk = ctx.shape[1]
+    qh = q.reshape(b, lq, num_heads, d)
+    kh = k.reshape(b, lk, num_heads, d)
+    vh = v.reshape(b, lk, num_heads, d)
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * scale
+    )
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    a = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, lq, c)
+    x1 = xn + (a @ wout + bout)
+    y = _ln(x1)
+    h1 = _gelu(y @ w1 + b1)
+    return x1 + (h1 @ w2 + b2)
+
+
+def _cross_kernel(
+    num_heads, d, scale, lq, lk,
+    x_ref, c_ref, gamma_ref, beta_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
+    wout_ref, bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+):
+    x = x_ref[...]
+    xn = _ln(x)
+    cn = _ln(c_ref[...]) * gamma_ref[...] + beta_ref[...]
+    q = jax.lax.dot_general(
+        xn, wq_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + bq_ref[...]
+    kv = jax.lax.dot_general(
+        cn, wkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + bkv_ref[...]
+    c = x.shape[-1]
+    k, v = kv[:, :c], kv[:, c:]
+
+    rq, rk = x.shape[0], k.shape[0]
+    qb = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 0) // lq
+    kb = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 1) // lk
+    bias = jnp.where(qb == kb, 0.0, -jnp.inf).astype(jnp.float32)
+    a = _heads_attend(q, k, v, num_heads, d, scale, bias)
+
+    x1 = xn + (
+        jax.lax.dot_general(
+            a, wout_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bout_ref[...]
+    )
+    y = _ln(x1)
+    h1 = _gelu(
+        jax.lax.dot_general(
+            y, w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + b1_ref[...]
+    )
+    o_ref[...] = x1 + (
+        jax.lax.dot_general(
+            h1, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + b2_ref[...]
+    )
+
+
+def _cross_block_fwd_impl(
+    x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2, b2,
+    num_heads,
+):
+    b, lq, c = x.shape
+    lk = ctx.shape[1]
+    d = c // num_heads
+    scale = 1.0 / (d ** 0.5)
+    interpret = jax.default_backend() == "cpu"
+
+    # VMEM budget (~16 MB/core, double-buffered blocks): target ~256 query
+    # rows and cap the packed kv block at ~1024 rows so f32 logits stay
+    # under ~1 MB per grid step.
+    g = min(max(256 // lq, 1), max(1024 // lk, 1))
+    bp = _round_up(b, g)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))
+        ctx = jnp.pad(ctx, ((0, bp - b), (0, 0), (0, 0)))
+    x2 = x.reshape(bp * lq, c)
+    c2 = ctx.reshape(bp * lk, c)
+    hidden = w1.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_cross_kernel, num_heads, d, scale, lq, lk),
+        out_shape=jax.ShapeDtypeStruct((bp * lq, c), x.dtype),
+        grid=(bp // g,),
+        in_specs=[
+            pl.BlockSpec((g * lq, c), lambda i: (i, 0)),
+            pl.BlockSpec((g * lk, c), lambda i: (i, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((2 * c,), lambda i: (0,)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((hidden,), lambda i: (0,)),
+            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((g * lq, c), lambda i: (i, 0)),
+        interpret=interpret,
+    )(x2, c2, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2, b2)
+    out = out.reshape(bp, lq, c)
+    return out[:b] if bp != b else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+def _cross_block(
+    x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2, b2,
+    num_heads,
+):
+    return _cross_block_fwd_impl(
+        x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2, b2,
+        num_heads,
+    )
+
+
+def _cb_fwd(
+    x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2, b2,
+    num_heads,
+):
+    out = _cross_block_fwd_impl(
+        x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2, b2,
+        num_heads,
+    )
+    return out, (x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1,
+                 w2, b2)
+
+
+def _cb_bwd(num_heads, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _cross_reference(*a, num_heads=num_heads), *res
+    )
+    return vjp(g)
+
+
+_cross_block.defvjp(_cb_fwd, _cb_bwd)
+
+
+def fused_cross_block(
+    x: jax.Array,  # [B, Lq, C] query stream
+    ctx: jax.Array,  # [B, Lk, C] context (keys/values)
+    gamma: jax.Array,  # [C] norm_context scale
+    beta: jax.Array,  # [C] norm_context bias
+    wq: jax.Array,  # [C, C] query projection (in_proj[:, :C])
+    bq: jax.Array,  # [C]
+    wkv: jax.Array,  # [C, 2C] packed kv projection (in_proj[:, C:])
+    bkv: jax.Array,  # [2C]
+    wout: jax.Array,  # [C, C]
+    bout: jax.Array,  # [C]
+    w1: jax.Array,  # [C, hidden]
+    b1: jax.Array,  # [hidden]
+    w2: jax.Array,  # [hidden, C]
+    b2: jax.Array,  # [C]
+    num_heads: int,
+) -> jax.Array:
+    """One CrossAttnBlock application, fully fused. Falls back to the jnp
+    reference for shapes with too little work to amortize a kernel."""
+    b, lq, c = x.shape
+    lk = ctx.shape[1]
+    if lq > 512 or lk > 1024 or b * lq < 256:
+        return _cross_reference(
+            x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2,
+            b2, num_heads,
+        )
+    return _cross_block(
+        x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2, b2,
+        num_heads,
+    )
+
+
 def fused_attn_block(
     x: jax.Array,  # [B, L, C] — L <= 64, self-attention, no mask
     wqkv: jax.Array,  # [C, 3C] packed qkv (torch in_proj layout)
