@@ -11,6 +11,7 @@ from .gt_generation import (
 )
 from .eval import eval_matches_homography
 from .train import build_matcher_train_step, matcher_nll_loss
+from .superglue import SuperGlueMatcher, log_sinkhorn, superglue_nll_loss
 from .eval_pipeline import (
     AUCMetric,
     EvalPipeline,
