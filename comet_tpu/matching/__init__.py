@@ -34,3 +34,9 @@ from .lines import (
     sample_line_points,
     make_wireframe,
 )
+from .deeplsd import (
+    DeepLSDNet,
+    DeepLSDDetector,
+    deeplsd_field_loss,
+    extract_lines_from_fields,
+)

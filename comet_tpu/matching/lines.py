@@ -72,10 +72,31 @@ def detect_line_segments(
     last surviving step (cumulative-product mask, so one early outlier
     pixel terminates the walk exactly like region growing would).
     """
-    h, w = gray.shape
     gx, gy = image_gradients(gray)
     mag = jnp.sqrt(gx * gx + gy * gy)
     theta = jnp.arctan2(gy, gx)  # gradient orientation
+    return march_segments_from_fields(
+        mag, theta,
+        max_lines=max_lines, n_steps=n_steps, step=step,
+        mag_threshold=mag_threshold, angle_tol=angle_tol,
+        min_length=min_length, nms_radius=nms_radius,
+    )
+
+
+def march_segments_from_fields(
+    mag: jax.Array,  # [H, W] edge-strength field (image gradient or learned)
+    theta: jax.Array,  # [H, W] NORMAL orientation (perpendicular to lines)
+    max_lines: int = 64,
+    n_steps: int = 32,
+    step: float = 1.5,
+    mag_threshold: float = 0.02,
+    angle_tol: float = 0.4,
+    min_length: float = 8.0,
+    nms_radius: int = 4,
+) -> LineSegments:
+    """Anchor-marching core shared by the LSD-equivalent (fields = Sobel
+    gradients) and the DeepLSD-equivalent (fields predicted by a CNN)."""
+    h, w = mag.shape
 
     # anchor selection: strongest gradient pixel PER CELL, then top-K
     # cells. Plain global top-K starves weaker lines — a jagged diagonal's
