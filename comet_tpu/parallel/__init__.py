@@ -6,4 +6,6 @@ from .mesh import (
     replicate_params,
     track_sharding,
     cross_replica_mean,
+    tensor_parallel_spec,
+    shard_params_tp,
 )

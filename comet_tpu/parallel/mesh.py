@@ -68,3 +68,56 @@ def cross_replica_mean(tree: Any, axis_name: str = "data") -> Any:
     return jax.tree_util.tree_map(
         lambda x: jax.lax.pmean(x, axis_name), tree
     )
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism: param-tree sharding rules over the "model" axis.
+#
+# The idiomatic JAX recipe (scaling-book style): annotate the parameter
+# pytree with PartitionSpecs and let GSPMD insert the collectives. Feed-
+# forward weight pairs use the Megatron layout — fc1/qkv column-sharded
+# (output features split), fc2/out_proj row-sharded (input features split) —
+# so the activation between them stays sharded and only ONE psum per block
+# rides the ICI. Everything not matched stays replicated. Pallas custom
+# calls have no partitioning rules, so GSPMD all-gathers their operands;
+# correctness is unaffected (validated by the parity-vs-replicated test).
+# ---------------------------------------------------------------------------
+
+# (path-substring, ndim) -> spec for the big transformer matmul weights.
+# Column-parallel: split the OUTPUT features; row-parallel: split INPUT.
+_COL_PARALLEL = ("fc1", "in_proj_kernel", "qkv", "q/", "k/", "v/")
+_ROW_PARALLEL = ("fc2", "out_proj", "merge2")
+
+
+def tensor_parallel_spec(path: str, ndim: int) -> P:
+    """PartitionSpec for one param, by tree-path substring match."""
+    if ndim < 2:
+        return P()  # biases/norms replicated
+    if any(k in path for k in _ROW_PARALLEL):
+        return P(*([None] * (ndim - 2) + ["model", None]))
+    if any(k in path for k in _COL_PARALLEL):
+        return P(*([None] * (ndim - 1) + ["model"]))
+    return P()
+
+
+def shard_params_tp(mesh: Mesh, params: Any) -> Any:
+    """Place a parameter pytree with tensor-parallel shardings over the
+    mesh's "model" axis (data-parallel-replicated over "data").
+
+    Weights whose sharded dimension does not divide by the model-axis size
+    stay replicated (GSPMD would pad; replication is cheaper at these
+    sizes and keeps the rule total)."""
+    n_model = mesh.shape["model"]
+
+    def place(path, x):
+        if not hasattr(x, "shape"):
+            return x
+        pstr = "/".join(str(getattr(p, "key", p)) for p in path)
+        spec = tensor_parallel_spec(pstr, x.ndim)
+        for dim, name in enumerate(spec):
+            if name == "model" and x.shape[dim] % n_model != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -263,3 +263,56 @@ class TestDataParallel:
         mesh = make_mesh(n_data=8)
         s = track_sharding(mesh)
         assert s.spec == P(None, "data")
+
+
+class TestTensorParallel:
+    """Tensor parallelism over the (data, model) mesh: Megatron-layout
+    weight sharding via PartitionSpec rules + GSPMD collectives."""
+
+    def test_spec_rules(self):
+        from comet_tpu.parallel import tensor_parallel_spec
+
+        assert tensor_parallel_spec("a/mlp/fc1/kernel", 2) == P(None, "model")
+        assert tensor_parallel_spec("a/mlp/fc2/kernel", 2) == P("model", None)
+        assert tensor_parallel_spec("attn/in_proj_kernel", 2) == P(None, "model")
+        assert tensor_parallel_spec("attn/out_proj/kernel", 2) == P("model", None)
+        assert tensor_parallel_spec("attn/in_proj_bias", 1) == P()
+        assert tensor_parallel_spec("conv1/kernel", 4) == P()
+
+    def test_tp_forward_matches_replicated(self, rng):
+        from comet_tpu.parallel import shard_params_tp
+
+        model, cfg = _tiny_model()
+        images, queries = _batch(rng, 2, cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), images, queries)
+
+        mesh = make_mesh(n_data=2, n_model=4)
+        fwd = jax.jit(lambda p, i, q: model.apply(p, i, q)["pred_pose_enc"])
+
+        ref = np.asarray(fwd(params, images, queries))
+
+        params_tp = shard_params_tp(mesh, params)
+        imgs_s = jax.device_put(images, NamedSharding(mesh, P("data")))
+        qs_s = jax.device_put(queries, NamedSharding(mesh, P("data")))
+        out = np.asarray(fwd(params_tp, imgs_s, qs_s))
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+    def test_tp_shards_expected_weights(self):
+        from comet_tpu.parallel import shard_params_tp
+
+        model, cfg = _tiny_model()
+        images = jnp.zeros((1, cfg.seqlen, cfg.img_size, cfg.img_size, 3))
+        queries = jnp.full((1, cfg.track_num, 2), cfg.img_size / 2.0)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), images, queries)
+        mesh = make_mesh(n_data=2, n_model=4)
+        params_tp = shard_params_tp(mesh, params)
+
+        n_sharded = 0
+        for path, x in jax.tree_util.tree_leaves_with_path(params_tp):
+            spec = x.sharding.spec if hasattr(x.sharding, "spec") else None
+            if spec and any(s == "model" for s in spec):
+                n_sharded += 1
+                # sharded dim must divide by the model-axis size
+                dim = list(spec).index("model")
+                assert x.shape[dim] % 4 == 0
+        assert n_sharded >= 10  # the transformer stack's matmul weights
