@@ -83,19 +83,21 @@ def cross_replica_mean(tree: Any, axis_name: str = "data") -> Any:
 # correctness is unaffected (validated by the parity-vs-replicated test).
 # ---------------------------------------------------------------------------
 
-# (path-substring, ndim) -> spec for the big transformer matmul weights.
-# Column-parallel: split the OUTPUT features; row-parallel: split INPUT.
-_COL_PARALLEL = ("fc1", "in_proj_kernel", "qkv", "q/", "k/", "v/")
-_ROW_PARALLEL = ("fc2", "out_proj", "merge2")
+# Path SEGMENTS naming the big transformer matmul weights. Column-parallel:
+# split the OUTPUT features; row-parallel: split INPUT. Exact segment match
+# (not substring) so e.g. a "seq" module can never alias the "q" projection.
+_COL_PARALLEL = frozenset({"fc1", "in_proj_kernel", "qkv", "q", "k", "v"})
+_ROW_PARALLEL = frozenset({"fc2", "out_proj", "merge2"})
 
 
 def tensor_parallel_spec(path: str, ndim: int) -> P:
-    """PartitionSpec for one param, by tree-path substring match."""
+    """PartitionSpec for one param, by tree-path segment match."""
     if ndim < 2:
         return P()  # biases/norms replicated
-    if any(k in path for k in _ROW_PARALLEL):
+    segs = set(path.split("/"))
+    if segs & _ROW_PARALLEL:
         return P(*([None] * (ndim - 2) + ["model", None]))
-    if any(k in path for k in _COL_PARALLEL):
+    if segs & _COL_PARALLEL:
         return P(*([None] * (ndim - 1) + ["model"]))
     return P()
 
