@@ -40,3 +40,4 @@ from .deeplsd import (
     deeplsd_field_loss,
     extract_lines_from_fields,
 )
+from .configs import EXPERIMENTS, build_pipeline, get_experiment, list_experiments

@@ -304,26 +304,44 @@ register_model(
 @register_model(
     "extractor_wireframe",
     {"point_extractor": "extractor_sift", "point_conf": {},
+     "line_detector": None, "line_conf": {},
      "max_lines": 64, "n_line_samples": 5},
 )
 def make_wireframe(
     point_extractor: str = "extractor_sift",
     point_conf: Dict = None,
+    line_detector: Optional[str] = None,
+    line_conf: Dict = None,
     max_lines: int = 64,
     n_line_samples: int = 5,
 ):
     """Wireframe extractor (wireframe.py capability): point extractor for
-    junctions + the LSD-equivalent line detector + line descriptors
-    sampled from a grayscale-gradient descriptor stand-in (or the point
-    extractor's dense map when it provides one)."""
+    junctions + a line detector + line descriptors sampled from a
+    grayscale-gradient descriptor stand-in (or the point extractor's dense
+    map when it provides one).
+
+    ``line_detector``: None uses the in-module LSD-equivalent; a registry
+    name (e.g. "lines_deeplsd") swaps in a learned detector — it must be a
+    callable gray -> LineSegments (DeepLSDDetector initializes itself with
+    random weights on first use if not explicitly initialized)."""
     from .registry import get_model as get_registered
 
     extract_points = get_registered(point_extractor, **(point_conf or {}))
+    detect = None
+    if line_detector is not None:
+        detect = get_registered(
+            line_detector, **{"max_lines": max_lines, **(line_conf or {})}
+        )
 
     def extract(image: jax.Array) -> Dict[str, jax.Array]:
         gray = image.mean(axis=-1) if image.ndim == 3 else image
         pts = extract_points(image)
-        segs = detect_line_segments(gray, max_lines=max_lines)
+        if detect is not None:
+            if getattr(detect, "params", "absent") is None:
+                detect.init(jax.random.PRNGKey(0), gray)
+            segs = detect(gray)
+        else:
+            segs = detect_line_segments(gray, max_lines=max_lines)
         # dense descriptor stand-in: normalized gradient orientation map
         gx, gy = image_gradients(gray)
         desc_map = jnp.stack([gx, gy, jnp.sqrt(gx * gx + gy * gy)], -1)

@@ -1,0 +1,65 @@
+"""Named matching experiments (gluefactory configs/*.yaml equivalent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comet_tpu.matching.configs import (
+    EXPERIMENTS,
+    build_pipeline,
+    get_experiment,
+    list_experiments,
+)
+
+
+def _image(seed, h=96, w=96):
+    rng = np.random.default_rng(seed)
+    img = rng.random((h, w, 3)).astype(np.float32) * 0.2
+    img[30:60, 20:70] += 0.6  # a bright box: corners + edges to detect
+    return jnp.asarray(np.clip(img, 0, 1))
+
+
+class TestExperimentRegistry:
+    def test_all_experiments_instantiate(self):
+        # every named pairing must resolve through the model registry
+        for name in list_experiments():
+            pipe = build_pipeline(name)
+            assert callable(pipe.extractor)
+            assert callable(pipe.matcher) or hasattr(pipe.matcher, "apply")
+
+    def test_config_is_copied(self):
+        a = get_experiment("superpoint+nn")
+        a["extractor"]["max_keypoints"] = 7
+        assert EXPERIMENTS["superpoint+nn"]["extractor"]["max_keypoints"] == 512
+
+    def test_overrides(self):
+        conf = get_experiment("superpoint+lightglue_homography")
+        assert conf["train"]["epochs"] == 40
+        pipe = build_pipeline(
+            "superpoint+nn", matcher={"threshold": 0.5}
+        )
+        assert pipe is not None
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            get_experiment("nope+never")
+
+
+class TestPipelineExecution:
+    def test_superpoint_nn_runs(self):
+        pipe = build_pipeline("superpoint+nn")
+        img0 = _image(0)
+        out0 = pipe.extractor(img0)
+        assert "keypoints" in out0 and "descriptors" in out0
+
+    def test_deeplsd_gluestick_extractor_runs(self):
+        conf = get_experiment("deeplsd+gluestick")
+        from comet_tpu.matching.registry import get_model
+
+        ext_conf = dict(conf["extractor"])
+        extractor = get_model(ext_conf.pop("name"), **ext_conf)
+        out = extractor(_image(1))
+        assert out["lines"].shape[-2:] == (2, 2)
+        assert "line_descriptors" in out
+        assert np.isfinite(np.asarray(out["line_descriptors"])).all()
