@@ -412,9 +412,41 @@ def cmd_bench(args):
         )))
 
 
+def cmd_match(args):
+    """Matching-stack entry point (the gluefactory train/eval scripts'
+    role): run a NAMED experiment (configs.py, the configs/*.yaml
+    equivalent) on the synthetic homography benchmark and print one JSON
+    row of matching + robust-estimation metrics."""
+    from .matching.benchmarks import (
+        make_synthetic_pairs,
+        run_homography_benchmark,
+    )
+    from .matching.configs import build_pipeline, list_experiments
+
+    if args.list:
+        for name in list_experiments():
+            print(name)
+        return
+    size = args.image_size
+    pipeline = build_pipeline(args.experiment, image_hw=(size, size))
+    pairs = make_synthetic_pairs(
+        args.n_pairs, hw=(size, size), seed=args.seed
+    )
+    row = run_homography_benchmark(pipeline, pairs)
+    print(json.dumps({"experiment": args.experiment, **row}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("comet_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
+    pm = sub.add_parser("match", help="run a named matching experiment")
+    pm.add_argument("--experiment", default="superpoint+nn")
+    pm.add_argument("--list", action="store_true",
+                    help="list experiment names and exit")
+    pm.add_argument("--n-pairs", type=int, default=8)
+    pm.add_argument("--image-size", type=int, default=120)
+    pm.add_argument("--seed", type=int, default=0)
+    pm.set_defaults(fn=cmd_match)
     for name, fn in [("eval", cmd_eval), ("train", cmd_train), ("demo", cmd_demo), ("bench", cmd_bench)]:
         p = sub.add_parser(name)
         _common(p)

@@ -136,11 +136,55 @@ def get_experiment(name: str) -> Dict[str, Any]:
     return copy.deepcopy(EXPERIMENTS[name])
 
 
-def build_pipeline(name: str, **overrides) -> TwoViewPipeline:
+def wrap_flax_matcher(matcher, image_hw, seed: int = 0):
+    """Adapt a flax matcher module to the TwoViewPipeline callable contract
+    ``(feats0, feats1) -> matches``: pixel keypoints normalize to [-1, 1]
+    by the image size, validity masks pass through, and params initialize
+    lazily (random weights — assign ``wrapper.holder["params"]`` to use
+    trained ones)."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = image_hw
+    scale = jnp.asarray([max(w - 1.0, 1.0), max(h - 1.0, 1.0)], jnp.float32)
+    holder = {"params": None}
+
+    def norm(k):
+        return k.astype(jnp.float32) / scale * 2.0 - 1.0
+
+    import inspect
+
+    takes_lines = "lines0" in inspect.signature(matcher.__call__).parameters
+
+    def call(f0, f1):
+        a = [
+            norm(f0["keypoints"]), f0["descriptors"],
+            norm(f1["keypoints"]), f1["descriptors"],
+        ]
+        kw = {"valid0": f0.get("valid"), "valid1": f1.get("valid")}
+        if takes_lines:  # GlueStick: joint point+line token set
+            a += [
+                norm(f0["lines"]), f0["line_descriptors"],
+                norm(f1["lines"]), f1["line_descriptors"],
+            ]
+            kw["lvalid0"] = f0.get("line_valid")
+            kw["lvalid1"] = f1.get("line_valid")
+        if holder["params"] is None:
+            holder["params"] = matcher.init(jax.random.PRNGKey(seed), *a, **kw)
+        return matcher.apply(holder["params"], *a, **kw)
+
+    call.holder = holder
+    return call
+
+
+def build_pipeline(name: str, image_hw=None, **overrides) -> TwoViewPipeline:
     """Instantiate the extractor+matcher pair of a named experiment.
 
     ``overrides`` are applied onto the top-level blocks, e.g.
     ``build_pipeline("superpoint+nn", matcher={"threshold": 0.2})``.
+    Flax matcher modules (LightGlue/SuperGlue/GlueStick) are wrapped into
+    pipeline callables when ``image_hw`` is given; otherwise they are
+    returned raw for callers that manage init/apply themselves.
     """
     conf = get_experiment(name)
     for k, v in overrides.items():
@@ -152,4 +196,6 @@ def build_pipeline(name: str, **overrides) -> TwoViewPipeline:
     extractor = get_model(ext_conf.pop("name"), **ext_conf)
     mat_conf = dict(conf["matcher"])
     matcher = get_model(mat_conf.pop("name"), **mat_conf)
+    if image_hw is not None and hasattr(matcher, "init"):
+        matcher = wrap_flax_matcher(matcher, image_hw)
     return TwoViewPipeline(extractor, matcher)

@@ -63,3 +63,39 @@ class TestPipelineExecution:
         assert out["lines"].shape[-2:] == (2, 2)
         assert "line_descriptors" in out
         assert np.isfinite(np.asarray(out["line_descriptors"])).all()
+
+
+class TestMatchCLI:
+    def test_list_and_run(self, capsys):
+        from comet_tpu.cli import main
+
+        main(["match", "--list"])
+        out = capsys.readouterr().out
+        assert "superpoint+nn" in out and "deeplsd+gluestick" in out
+
+        main(["match", "--experiment", "sift+nn", "--n-pairs", "1",
+              "--image-size", "80"])
+        out = capsys.readouterr().out
+        import json as _json
+
+        row = _json.loads(out.strip().splitlines()[-1])
+        assert row["experiment"] == "sift+nn"
+        assert "H_error_ransac" in row and row["num_matches"] > 0
+
+    def test_flax_matcher_adapter(self):
+        # wrap_flax_matcher: lazy init + pixel->[-1,1] normalization +
+        # masks; SuperGlue path must execute through the pipeline contract
+        import numpy as np
+
+        from comet_tpu.matching.configs import build_pipeline
+
+        pipe = build_pipeline(
+            "superpoint+superglue", image_hw=(64, 64),
+            matcher={"depth": 1, "dim": 64, "sinkhorn_iters": 5},
+            extractor={"max_keypoints": 64},
+        )
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((64, 64, 3)).astype(np.float32))
+        out = pipe(img, img)
+        assert out["matches0"].shape[0] == 64
+        assert pipe.matcher.holder["params"] is not None
