@@ -55,10 +55,11 @@ class DeepLSDNet(nn.Module):
 
     @nn.compact
     def __call__(self, gray: jax.Array) -> Dict[str, jax.Array]:
-        h, w = gray.shape[-2:]
+        # single-image contract: [H, W] or [H, W, C] (the heads below read
+        # batch entry 0; vmap for batches)
+        assert gray.ndim in (2, 3), f"expected [H, W](, C), got {gray.shape}"
         x = gray[..., None] if gray.ndim == 2 else gray
-        if x.ndim == 3:
-            x = x[None]  # [1, H, W, C]
+        x = x[None]  # [1, H, W, C]
 
         e1 = _ConvBlock(self.base, self.dtype, name="enc1")(x)
         d1 = nn.max_pool(e1, (2, 2), strides=(2, 2))
