@@ -10,7 +10,11 @@ from .gt_generation import (
     warp_homography,
 )
 from .eval import eval_matches_homography
-from .train import build_matcher_train_step, matcher_nll_loss
+from .train import (
+    build_matcher_train_step,
+    build_superglue_train_step,
+    matcher_nll_loss,
+)
 from .superglue import SuperGlueMatcher, log_sinkhorn, superglue_nll_loss
 from .eval_pipeline import (
     AUCMetric,

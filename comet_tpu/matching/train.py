@@ -75,3 +75,31 @@ def build_matcher_train_step(matcher, tx: optax.GradientTransformation):
         return params, opt_state, loss
 
     return step
+
+
+def build_superglue_train_step(matcher, tx: optax.GradientTransformation):
+    """Jitted train step for optimal-transport matchers (SuperGlue):
+    same batch contract as build_matcher_train_step, but the loss is the
+    NLL of the GT partial assignment under the dustbin-augmented transport
+    matrix (matcher output key "log_assignment")."""
+    from .superglue import superglue_nll_loss
+
+    def loss_fn(params, batch):
+        def one(kpts0, desc0, kpts1, desc1, gt0, gt1):
+            out = matcher.apply(params, kpts0, desc0, kpts1, desc1)
+            return superglue_nll_loss(out["log_assignment"], gt0, gt1)
+
+        losses = jax.vmap(one)(
+            batch["kpts0"], batch["desc0"], batch["kpts1"], batch["desc1"],
+            batch["gt0"], batch["gt1"],
+        )
+        return losses.mean()
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

@@ -162,25 +162,23 @@ class TestSuperGlueTraining:
         gt0 = jnp.argsort(perm)  # point i in set0 -> position of i in set1
         gt1 = perm
 
+        from comet_tpu.matching.train import build_superglue_train_step
+
         m = SuperGlueMatcher(depth=2, dim=64, sinkhorn_iters=20,
                              filter_threshold=0.0)
         params = m.init(jax.random.PRNGKey(0), kpts0, desc, kpts1, desc1)
         tx = optax.adam(3e-4)
         opt = tx.init(params)
-
-        @jax.jit
-        def step(params, opt):
-            def loss_fn(p):
-                out = m.apply(p, kpts0, desc, kpts1, desc1)
-                return superglue_nll_loss(out["log_assignment"], gt0, gt1)
-
-            loss, g = jax.value_and_grad(loss_fn)(params)
-            up, opt = tx.update(g, opt)
-            return optax.apply_updates(params, up), opt, loss
+        step = build_superglue_train_step(m, tx)
+        batch = {
+            "kpts0": kpts0[None], "desc0": desc[None],
+            "kpts1": kpts1[None], "desc1": desc1[None],
+            "gt0": gt0[None], "gt1": gt1[None],
+        }
 
         first = None
         for i in range(150):
-            params, opt, loss = step(params, opt)
+            params, opt, loss = step(params, opt, batch)
             if first is None:
                 first = float(loss)
         assert float(loss) < first * 0.5
