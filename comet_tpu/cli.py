@@ -35,10 +35,17 @@ def _common(parser):
     parser.add_argument("--f32", action="store_true", help="disable bf16 compute")
     parser.add_argument(
         "--device-preprocess", action="store_true",
-        help="run crop/resize/normalize jitted on device (bilinear fast "
-        "path; default host path is LANCZOS reference-parity). Applies to "
-        "every dataset-constructing subcommand (eval/train/demo); bench "
-        "uses synthetic device-resident tensors and ignores it",
+        help="run crop/resize/normalize jitted on device (default host "
+        "path is PIL LANCZOS reference-parity). Applies to every "
+        "dataset-constructing subcommand (eval/train/demo); bench uses "
+        "synthetic device-resident tensors and ignores it",
+    )
+    parser.add_argument(
+        "--device-resample", default="bilinear",
+        choices=["bilinear", "lanczos"],
+        help="device-preprocess filter: bilinear (cheapest) or lanczos "
+        "(the reference's PIL filter as sampling matrices — matches the "
+        "host path to PIL's uint8 rounding)",
     )
     parser.add_argument(
         "--demo-seq-len", type=int, default=None,
@@ -76,7 +83,9 @@ def _maybe_device_preprocess(dataset, args):
     if getattr(args, "device_preprocess", False):
         from .data.device_pipeline import DevicePreprocessDataset
 
-        return DevicePreprocessDataset(dataset)
+        return DevicePreprocessDataset(
+            dataset, resample=getattr(args, "device_resample", "bilinear")
+        )
     return dataset
 
 

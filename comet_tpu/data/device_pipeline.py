@@ -50,17 +50,60 @@ def _sampling_matrix(src_size: int, start, box, out_size: int) -> jax.Array:
     ) * w[:, None]
 
 
-@partial(jax.jit, static_argnums=(2,))
+def _lanczos_matrix(
+    src_size: int, start, box, out_size: int, a: float = 3.0
+) -> jax.Array:
+    """[out, src] Lanczos-3 crop-resize matrix matching PIL's LANCZOS
+    semantics for an integer crop box: tap windows live in CROP
+    coordinates (k = 0..box-1), the filter widens by max(box/out, 1) when
+    downscaling, weights normalize over the in-crop window (PIL clips the
+    window at the crop edges before normalizing), and crop taps mapping
+    outside the source image vanish — PIL's zero-padded crop.
+
+    The crop-coordinate axis is static at 2*src_size (sequence squares
+    with the +15% margin never exceed that)."""
+    kmax = 2 * src_size
+    k = jnp.arange(kmax, dtype=jnp.float32)
+    scale = box / out_size
+    fscale = jnp.maximum(scale, 1.0)
+    center = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale
+    x = (k[None, :] + 0.5 - center[:, None]) / fscale  # [out, kmax]
+    weights = jnp.where(
+        (jnp.abs(x) < a) & (k[None, :] < box),
+        jnp.sinc(x) * jnp.sinc(x / a),
+        0.0,
+    )
+    weights = weights / jnp.maximum(
+        weights.sum(axis=-1, keepdims=True), 1e-12
+    )
+    # crop tap k sits at source pixel floor(start) + k; out-of-image taps
+    # match no column and contribute zero
+    s_idx = jnp.floor(start) + k
+    rng = jnp.arange(src_size, dtype=jnp.float32)
+    onehot = (s_idx[:, None] == rng[None, :]).astype(jnp.float32)
+    return weights @ onehot  # [out, src]
+
+
+@partial(jax.jit, static_argnums=(2, 3))
 def preprocess_frames(
     frames_u8: jax.Array,  # [S, H, W, 3] uint8
     square: jax.Array,  # [4] (x0, y0, x1, y1) float crop box
     crop_size: int,
+    resample: str = "bilinear",
 ) -> jax.Array:
-    """uint8 frames -> [S, crop, crop, 3] float32 ImageNet-normalized."""
+    """uint8 frames -> [S, crop, crop, 3] float32 ImageNet-normalized.
+
+    resample: "bilinear" (cheapest, serving default) or "lanczos" (the
+    reference's PIL filter as sampling matrices — host-path parity up to
+    PIL's per-pass uint8 rounding)."""
     s, h, w, _ = frames_u8.shape
     x0, y0, x1, y1 = square[0], square[1], square[2], square[3]
-    my = _sampling_matrix(h, y0, y1 - y0, crop_size)
-    mx = _sampling_matrix(w, x0, x1 - x0, crop_size)
+    if resample == "lanczos":
+        my = _lanczos_matrix(h, y0, y1 - y0, crop_size)
+        mx = _lanczos_matrix(w, x0, x1 - x0, crop_size)
+    else:
+        my = _sampling_matrix(h, y0, y1 - y0, crop_size)
+        mx = _sampling_matrix(w, x0, x1 - x0, crop_size)
     img = frames_u8.astype(jnp.float32) / 255.0
     t = jnp.einsum("oh,shwc->sowc", my, img)
     out = jnp.einsum("sowc,pw->sopc", t, mx)
@@ -101,10 +144,12 @@ class DevicePreprocessDataset:
     everything else is one jitted graph per (image-shape, crop) signature.
     """
 
-    def __init__(self, base: VideoPoseDataset):
+    def __init__(self, base: VideoPoseDataset, resample: str = "bilinear"):
+        assert resample in ("bilinear", "lanczos"), resample
         self.base = base
         self.crop_size = base.crop_size
         self.seq_names = base.seq_names
+        self.resample = resample
 
     def __len__(self):
         return len(self.base)
@@ -113,7 +158,8 @@ class DevicePreprocessDataset:
         raw = self.base.load_sequence_raw(self.seq_names[index])
         square = jnp.asarray(raw["square"])
         images = preprocess_frames(
-            jnp.asarray(raw["frames_u8"]), square, self.crop_size
+            jnp.asarray(raw["frames_u8"]), square, self.crop_size,
+            self.resample,
         )
         first_mask = preprocess_mask(
             jnp.asarray(raw["mask0_u8"]), square, self.crop_size

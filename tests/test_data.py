@@ -178,3 +178,65 @@ class TestDevicePipeline:
         # overwhelming agreement required
         agree = (a.first_mask == b.first_mask).mean()
         assert agree > 0.95
+
+
+class TestDeviceLanczos:
+    def test_matches_pil_lanczos(self):
+        # the lanczos sampling matrices must reproduce PIL's LANCZOS
+        # crop-resize (the host parity path). The float matrices match
+        # PIL's float algorithm to ~6e-7; the remaining gap vs real PIL is
+        # its fixed-point pipeline clipping the filter's overshoot to
+        # uint8 after each separable pass — a few LSB on smooth images,
+        # larger only on pure noise.
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from comet_tpu.data.device_pipeline import preprocess_frames
+
+        rng = np.random.default_rng(0)
+        h, w, crop = 48, 56, 20
+        # smooth texture (low-frequency noise upsampled) — representative
+        # of real frames, minimal overshoot clipping
+        low = rng.random((6, 7, 3))
+        img = np.asarray(
+            jax.image.resize(jnp.asarray(low), (h, w, 3), "cubic")
+        )
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        # interior crop: pure per-pass rounding (~1 LSB). Out-of-image
+        # crops: the zero-pad edge makes the filter overshoot, which PIL
+        # clips to uint8 between passes (~4 LSB there).
+        for box, tol in [
+            ((6, 4, 38, 36), 2.0),
+            ((-8, -8, 24, 24), 5.0),
+            ((20, 10, 60, 50), 5.0),
+        ]:
+            x0, y0, x1, y1 = box
+            host = np.asarray(
+                Image.fromarray(img).crop(box).resize(
+                    (crop, crop), Image.Resampling.LANCZOS
+                ),
+                np.float32,
+            ) / 255.0
+            square = jnp.asarray([x0, y0, x1, y1], jnp.float32)
+            dev = np.asarray(
+                preprocess_frames(
+                    jnp.asarray(img[None]), square, crop, "lanczos"
+                )
+            )[0]
+            mean = np.array([0.485, 0.456, 0.406])
+            std = np.array([0.229, 0.224, 0.225])
+            dev_raw = dev * std + mean
+            assert np.abs(dev_raw - host).max() < tol / 255.0, box
+
+    def test_wrapper_lanczos_mode(self, amd_root):
+        from comet_tpu.data.datasets import AMDDataset
+        from comet_tpu.data.device_pipeline import DevicePreprocessDataset
+
+        base = AMDDataset(amd_root, crop_size=32, seq_len=2, use_augs=False)
+        dev = DevicePreprocessDataset(base, resample="lanczos")
+        a = base[0]
+        b = dev[0]
+        assert b.images.shape == a.images.shape
+        # lanczos device path tracks the host LANCZOS path closely
+        assert np.abs(b.images - a.images).max() < 4.0 / 255.0 / 0.22
