@@ -44,6 +44,11 @@ from .align import (
     rotation_average,
     relative_to_first,
     farthest_point_sample,
+    calculate_index_mappings,
+    switch_tensor_order,
+    generate_rank_by_midpoint,
+    generate_rank_by_interval,
+    rank_by_feature_similarity,
 )
 from .pnp import PnPResult, solve_pnp, solve_pnp_batched, solve_pnp_focal_sweep
 from .robust_estimators import (

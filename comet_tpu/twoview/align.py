@@ -109,3 +109,94 @@ def farthest_point_sample(points: jax.Array, k: int) -> jax.Array:
 
     (_, _), idx = jax.lax.scan(body, (d2, first), None, length=k)
     return idx
+
+
+# ---------------------------------------------------------------------------
+# Query-frame selection (comet/utils/utils.py:167-332): orderings that pick
+# which frames to run/query first, plus the index swap that places the query
+# frame at position 0.
+# ---------------------------------------------------------------------------
+
+
+def calculate_index_mappings(query_index: int, s: int) -> jax.Array:
+    """Order that swaps positions 0 and query_index
+    (comet/utils/utils.py:167-178)."""
+    order = jnp.arange(s)
+    order = order.at[0].set(query_index)
+    return order.at[query_index].set(0)
+
+
+def switch_tensor_order(tensors, order: jax.Array, axis: int = 1):
+    """Reorder each (optional) tensor along ``axis``
+    (comet/utils/utils.py:181-189)."""
+    return [
+        jnp.take(t, order, axis=axis) if t is not None else None
+        for t in tensors
+    ]
+
+
+def generate_rank_by_midpoint(n: int):
+    """Frame order by recursive interval midpoints, coarse-to-fine
+    (comet/utils/utils.py:234-250): [mid, 0, n-1, quarter points, ...]."""
+    mid = (n - 1) // 2
+    seq = [mid, 0, n - 1]
+    intervals = [(0, mid), (mid, n - 1)]
+    while intervals:
+        start, end = intervals.pop(0)
+        m = start + (end - start) // 2
+        if m not in seq:
+            seq.append(m)
+        if end - start > 1:
+            intervals.append((start, m))
+            intervals.append((m, end))
+    for i in range(n):
+        if i not in seq:
+            seq.append(i)
+    return seq
+
+
+def generate_rank_by_interval(n: int, k: int):
+    """Frame order by stride-k interleaving (comet/utils/utils.py:253-262)."""
+    result = []
+    for start in range(k):
+        result.extend(range(start, n, k))
+    return result
+
+
+def rank_by_feature_similarity(
+    frame_features: jax.Array,  # [S, P, C] per-frame patch features
+    num_frames: int,
+) -> jax.Array:
+    """Query-frame ranking by appearance similarity + FPS
+    (generate_rank_by_dino, comet/utils/utils.py:265-332).
+
+    The reference runs the frozen DINOv2 backbone and ranks by mean patch
+    cosine similarity; here the (backbone-agnostic) features come in as an
+    argument — pass models.vit patch tokens for the exact equivalent. The
+    most-similar-to-all frame seeds a farthest-point sweep over the
+    100-minus-similarity distance matrix, so the selected frames are
+    mutually dissimilar (good parallax for SfM)."""
+    f = frame_features / jnp.maximum(
+        jnp.linalg.norm(frame_features, axis=-1, keepdims=True), 1e-8
+    )
+    # per-patch frame-to-frame similarity, averaged over patches
+    sim = jnp.einsum("spc,tpc->pst", f, f).mean(axis=0)  # [S, S]
+    dist = 100.0 - sim
+    s = sim.shape[0]
+    sim_offdiag = sim - 200.0 * jnp.eye(s)
+    start = jnp.argmax(sim_offdiag.sum(axis=1)).astype(jnp.int32)
+
+    # FPS over the precomputed distance matrix, seeded at `start`
+    def body(carry, _):
+        mind, selected_mask, last = carry
+        mind = jnp.minimum(mind, dist[last])
+        mind = jnp.where(selected_mask, -jnp.inf, mind)
+        nxt = jnp.argmax(mind).astype(jnp.int32)
+        return (mind, selected_mask.at[nxt].set(True), nxt), last
+
+    mask0 = jnp.zeros((s,), bool).at[start].set(True)
+    (_, _, _), picked = jax.lax.scan(
+        body, (jnp.full((s,), jnp.inf), mask0, start), None,
+        length=num_frames,
+    )
+    return picked

@@ -237,3 +237,53 @@ class TestAlign:
         pts = rng.random((100, 3))
         idx = np.asarray(farthest_point_sample(jnp.asarray(pts, jnp.float32), 10))
         assert len(np.unique(idx)) == 10
+
+
+class TestFrameRanking:
+    """Query-frame selection utilities (comet/utils/utils.py:167-332)."""
+
+    def test_index_mappings_swap(self):
+        from comet_tpu.twoview.align import (
+            calculate_index_mappings,
+            switch_tensor_order,
+        )
+
+        order = np.asarray(calculate_index_mappings(3, 6))
+        assert order[0] == 3 and order[3] == 0
+        assert sorted(order.tolist()) == list(range(6))
+        x = jnp.arange(12).reshape(2, 6)
+        (y, z) = switch_tensor_order([x, None], jnp.asarray(order), axis=1)
+        assert z is None
+        np.testing.assert_array_equal(np.asarray(y[:, 0]), np.asarray(x[:, 3]))
+
+    def test_midpoint_and_interval_orders(self):
+        from comet_tpu.twoview.align import (
+            generate_rank_by_interval,
+            generate_rank_by_midpoint,
+        )
+
+        for n in (5, 8, 13):
+            m = generate_rank_by_midpoint(n)
+            assert sorted(m) == list(range(n))
+            assert m[0] == (n - 1) // 2 and m[1] == 0 and m[2] == n - 1
+        iv = generate_rank_by_interval(10, 3)
+        assert iv == [0, 3, 6, 9, 1, 4, 7, 2, 5, 8]
+
+    def test_feature_similarity_ranking(self):
+        from comet_tpu.twoview.align import rank_by_feature_similarity
+
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=(1, 16, 8)).astype(np.float32)
+        # frames 0-2 nearly identical, frame 3 very different
+        feats = np.concatenate(
+            [
+                base + 0.01 * rng.normal(size=(3, 16, 8)),
+                10.0 * rng.normal(size=(1, 16, 8)),
+            ],
+            axis=0,
+        ).astype(np.float32)
+        picked = np.asarray(rank_by_feature_similarity(jnp.asarray(feats), 2))
+        # seed = one of the mutually-similar frames; second pick = the
+        # dissimilar one
+        assert picked[0] in (0, 1, 2)
+        assert picked[1] == 3
