@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.bilinear import bilinear_sample
-from ..twoview import estimate_homography_ransac
 from .eval import eval_matches_homography
 from .gt_generation import warp_homography
 
@@ -83,14 +82,24 @@ def run_homography_benchmark(
     ransac_iters: int = 256,
     ransac_threshold: float = 3.0,
     seed: int = 0,
+    estimator: str = "ransac",
 ) -> Dict[str, float]:
     """Evaluate a TwoViewPipeline on (image0, image1, H_gt) pairs.
 
     Returns mean num_matches, prec@px, recall, H_error_ransac and the
-    H_error@{1,3,5}px accuracy buckets over the pairs.
+    H_error@{1,3,5}px accuracy buckets over the pairs. ``estimator``
+    selects the homography backend through the robust-estimator plugin
+    layer (twoview/robust_estimators.py: "ransac" or "dlt"), mirroring the
+    reference's ``conf.eval.estimator`` knob.
     """
+    from ..twoview.robust_estimators import get_estimator
+
+    est = get_estimator(
+        "homography", estimator,
+        {"ransac_th": ransac_threshold, "seed": seed,
+         "num_hypotheses": ransac_iters},
+    )
     per_pair: List[Dict[str, float]] = []
-    key = jax.random.PRNGKey(seed)
     for image0, image1, h_gt in pairs:
         out = pipeline(image0, image1)
         k0 = out["feats0"]["keypoints"]
@@ -106,15 +115,18 @@ def run_homography_benchmark(
         pts0 = np.asarray(k0)[valid]
         pts1 = np.asarray(k1)[np.clip(np.asarray(m0)[valid], 0, k1.shape[0] - 1)]
         if pts0.shape[0] >= 4:
-            res = estimate_homography_ransac(
-                jnp.asarray(pts0, jnp.float32),
-                jnp.asarray(pts1, jnp.float32),
-                key,
-                threshold=ransac_threshold,
-                num_hypotheses=ransac_iters,
-            )
-            row["H_error_ransac"] = float(
-                homography_corner_error(res.model, h_gt, image0.shape[:2])
+            res = est({
+                "m_kpts0": jnp.asarray(pts0, jnp.float32),
+                "m_kpts1": jnp.asarray(pts1, jnp.float32),
+            })
+            row["H_error_ransac"] = (
+                float(
+                    homography_corner_error(
+                        res["M_0to1"], h_gt, image0.shape[:2]
+                    )
+                )
+                if res["success"]
+                else float("inf")
             )
         else:
             row["H_error_ransac"] = float("inf")
