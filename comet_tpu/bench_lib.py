@@ -177,6 +177,7 @@ def run_eval_data_benchmark(
     data_root: str = None,
     max_sequences: int = 8,
     device_preprocess: bool = True,
+    resample: str = "bilinear",
     seed: int = 0,
 ) -> Dict:
     """End-to-end eval throughput WITH real data: disk decode + keypoint
@@ -216,7 +217,7 @@ def run_eval_data_benchmark(
     if device_preprocess:
         from .data.device_pipeline import DevicePreprocessDataset
 
-        dataset = DevicePreprocessDataset(dataset)
+        dataset = DevicePreprocessDataset(dataset, resample=resample)
     n = min(len(dataset), max_sequences)
 
     # compile pass (1 sequence), then the timed pass over n sequences
@@ -230,7 +231,7 @@ def run_eval_data_benchmark(
         tmp.cleanup()
     seq_per_sec = n / elapsed
     return {
-        "metric": f"eval-with-data sequences/sec (seqlen={cfg.seqlen}, {cfg.img_size}px, device_preprocess={device_preprocess})",
+        "metric": f"eval-with-data sequences/sec (seqlen={cfg.seqlen}, {cfg.img_size}px, device_preprocess={device_preprocess}, resample={resample if device_preprocess else 'host-lanczos'})",
         "value": round(seq_per_sec, 4),
         "unit": "seq/s",
         "vs_baseline": round(seq_per_sec / REFERENCE_SEQ_PER_SEC, 3),
