@@ -45,3 +45,9 @@ from .deeplsd import (
     extract_lines_from_fields,
 )
 from .configs import EXPERIMENTS, build_pipeline, get_experiment, list_experiments
+from .augmentations import (
+    LG_PRESET,
+    PhotometricConfig,
+    photometric_augment,
+    sample_homography_difficulty,
+)
