@@ -13,6 +13,7 @@ from .eval import eval_matches_homography
 from .train import (
     build_matcher_train_step,
     build_superglue_train_step,
+    make_homography_training_batch,
     matcher_nll_loss,
 )
 from .superglue import SuperGlueMatcher, log_sinkhorn, superglue_nll_loss

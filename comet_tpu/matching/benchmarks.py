@@ -141,6 +141,18 @@ def run_homography_benchmark(
     return agg
 
 
+def synthetic_texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Smooth random texture with corners: low-freq noise + blobs —
+    detectable structure for keypoint extractors."""
+    base = rng.normal(size=(h // 8, w // 8, 1)).astype(np.float32)
+    img = np.asarray(jax.image.resize(jnp.asarray(base), (h, w, 1), "cubic"))
+    img = (img - img.min()) / max(float(np.ptp(img)), 1e-6)
+    for _ in range(24):
+        cy, cx = rng.integers(8, h - 8), rng.integers(8, w - 8)
+        img[cy - 3 : cy + 3, cx - 3 : cx + 3] = rng.random()
+    return img
+
+
 def make_synthetic_pairs(
     n_pairs: int,
     hw: Tuple[int, int] = (120, 160),
@@ -154,15 +166,7 @@ def make_synthetic_pairs(
     pairs = []
     for _ in range(n_pairs):
         if image is None:
-            # smooth random texture with corners: low-freq noise + blobs
-            base = rng.normal(size=(h // 8, w // 8, 1)).astype(np.float32)
-            img = np.asarray(
-                jax.image.resize(jnp.asarray(base), (h, w, 1), "cubic")
-            )
-            img = (img - img.min()) / max(float(np.ptp(img)), 1e-6)
-            for _ in range(24):
-                cy, cx = rng.integers(8, h - 8), rng.integers(8, w - 8)
-                img[cy - 3 : cy + 3, cx - 3 : cx + 3] = rng.random()
+            img = synthetic_texture(rng, h, w)
         else:
             img = np.asarray(image, np.float32)
             if img.ndim == 2:

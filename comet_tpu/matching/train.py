@@ -103,3 +103,81 @@ def build_superglue_train_step(matcher, tx: optax.GradientTransformation):
         return params, opt_state, loss
 
     return step
+
+
+def make_homography_training_batch(
+    extractor,
+    rng,
+    batch_size: int = 4,
+    image_hw: Tuple[int, int] = (96, 96),
+    difficulty: float = 0.7,
+    max_angle: float = 45.0,
+    photometric=None,
+    th_positive: float = 3.0,
+    th_negative: float = 5.0,
+):
+    """Build one supervised matcher-training batch the way gluefactory's
+    (stripped) homographies dataset would: synthetic textured image ->
+    difficulty-scaled homography warp -> photometric augmentation of both
+    views -> extractor features -> GT labels from the true homography.
+
+    ``photometric``: a PhotometricConfig (None = the "lg" preset; the
+    experiment configs' ``train.homography`` block supplies
+    difficulty/max_angle). Keypoints in the returned batch are normalized
+    to [-1, 1] (the matcher contract); GT generation runs in pixels.
+    Extractor padding slots (valid == False) are labeled IGNORE so the
+    losses skip them.
+    """
+    import numpy as np
+
+    from .augmentations import (
+        LG_PRESET,
+        photometric_augment,
+        sample_homography_difficulty,
+    )
+    from .benchmarks import synthetic_texture, warp_image
+    from .gt_generation import gt_matches_from_homography
+
+    conf = LG_PRESET if photometric is None else photometric
+    h, w = image_hw
+    scale = jnp.asarray([max(w - 1.0, 1.0), max(h - 1.0, 1.0)], jnp.float32)
+    rows = {k: [] for k in ("kpts0", "desc0", "kpts1", "desc1", "gt0", "gt1")}
+    for _ in range(batch_size):
+        img0 = jnp.asarray(synthetic_texture(rng, h, w))
+        h_mat = jnp.asarray(
+            sample_homography_difficulty(rng, h, w, difficulty, max_angle),
+            jnp.float32,
+        )
+        img1 = warp_image(img0, h_mat)
+        key = jax.random.PRNGKey(int(rng.integers(1 << 30)))
+        k0, k1 = jax.random.split(key)
+        f0 = extractor(photometric_augment(k0, img0, conf))
+        f1 = extractor(photometric_augment(k1, img1, conf))
+        gt = gt_matches_from_homography(
+            f0["keypoints"], f1["keypoints"], h_mat,
+            pos_threshold=th_positive, neg_threshold=th_negative,
+        )
+        v0 = f0.get("valid")
+        v1 = f1.get("valid")
+        gt0 = gt["matches0"]
+        gt1 = gt["matches1"]
+        if v0 is not None:
+            gt0 = jnp.where(v0, gt0, IGNORE)
+            # matches pointing AT padded slots are not real either
+            gt1 = jnp.where(
+                (gt1 >= 0) & ~v0[jnp.clip(gt1, 0, v0.shape[0] - 1)],
+                IGNORE, gt1,
+            )
+        if v1 is not None:
+            gt1 = jnp.where(v1, gt1, IGNORE)
+            gt0 = jnp.where(
+                (gt0 >= 0) & ~v1[jnp.clip(gt0, 0, v1.shape[0] - 1)],
+                IGNORE, gt0,
+            )
+        rows["kpts0"].append(f0["keypoints"] / scale * 2.0 - 1.0)
+        rows["desc0"].append(f0["descriptors"])
+        rows["kpts1"].append(f1["keypoints"] / scale * 2.0 - 1.0)
+        rows["desc1"].append(f1["descriptors"])
+        rows["gt0"].append(gt0)
+        rows["gt1"].append(gt1)
+    return {k: jnp.stack(v) for k, v in rows.items()}

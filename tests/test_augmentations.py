@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from comet_tpu.matching.augmentations import (
     LG_PRESET,
@@ -90,3 +91,53 @@ class TestHomographyDifficulty:
             return np.mean(disps)
 
         assert mean_disp(0.9, 2) > mean_disp(0.2, 2) * 1.5
+
+
+@pytest.mark.slow
+class TestConfigDrivenTraining:
+    def test_experiment_train_block_end_to_end(self):
+        """The experiment configs' train block is runnable end-to-end:
+        synthetic images -> difficulty homography + photometric aug ->
+        SIFT features -> GT labels -> LightGlue NLL decreasing."""
+        import optax
+
+        from comet_tpu.matching.configs import get_experiment
+        from comet_tpu.matching.matchers import LightGlueMatcher
+        from comet_tpu.matching.registry import get_model
+        from comet_tpu.matching.train import (
+            build_matcher_train_step,
+            make_homography_training_batch,
+        )
+
+        conf = get_experiment("sift+lightglue_homography")
+        tb = conf["train"]
+        extractor = get_model("extractor_sift", max_keypoints=48)
+        matcher = LightGlueMatcher(depth=2, dim=64, num_heads=4)
+
+        rng = np.random.default_rng(tb["seed"])
+        batch = make_homography_training_batch(
+            extractor, rng, batch_size=3, image_hw=(96, 96),
+            difficulty=tb["homography"]["difficulty"],
+            max_angle=tb["homography"]["max_angle"],
+            th_positive=conf["ground_truth"]["th_positive"],
+            th_negative=conf["ground_truth"]["th_negative"],
+        )
+        assert batch["kpts0"].shape == (3, 48, 2)
+        k = np.asarray(batch["kpts0"])
+        assert k.min() >= -1.001 and k.max() <= 1.001
+        # at least some positive supervision must exist
+        assert (np.asarray(batch["gt0"]) >= 0).sum() > 0
+
+        params = matcher.init(
+            jax.random.PRNGKey(0), batch["kpts0"][0], batch["desc0"][0],
+            batch["kpts1"][0], batch["desc1"][0],
+        )
+        tx = optax.adam(float(tb["lr"]) * 10)  # tiny model, fixed batch
+        opt_state = tx.init(params)
+        step = build_matcher_train_step(matcher, tx)
+        losses = []
+        for _ in range(40):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.7, losses[::10]
