@@ -437,12 +437,91 @@ def cmd_match(args):
             print(name)
         return
     size = args.image_size
+    if args.train:
+        _match_train(args)
+        return
     pipeline = build_pipeline(args.experiment, image_hw=(size, size))
     pairs = make_synthetic_pairs(
         args.n_pairs, hw=(size, size), seed=args.seed
     )
     row = run_homography_benchmark(pipeline, pairs)
     print(json.dumps({"experiment": args.experiment, **row}))
+
+
+def _match_train(args):
+    """Train a named experiment's matcher on generated homography data
+    (the gluefactory train.py loop's role; its datasets module is stripped
+    from the reference, so pairs come from the synthetic generator)."""
+    import numpy as np
+
+    import jax
+    import optax
+
+    from .matching.configs import get_experiment
+    from .matching.registry import get_model
+    from .matching.train import (
+        build_matcher_train_step,
+        build_superglue_train_step,
+        make_homography_training_batch,
+    )
+
+    conf = get_experiment(args.experiment)
+    tb = conf.get("train")
+    if not tb:
+        raise SystemExit(
+            f"experiment '{args.experiment}' has no train block "
+            "(eval-only pairing); pick a *_homography/superglue experiment"
+        )
+    ext_conf = dict(conf["extractor"])
+    ext_conf.setdefault("max_keypoints", 128)
+    extractor = get_model(ext_conf.pop("name"), **ext_conf)
+    mat_conf = dict(conf["matcher"])
+    mat_name = mat_conf.pop("name")
+    matcher = get_model(mat_name, **mat_conf)
+
+    size = args.image_size
+    rng = np.random.default_rng(tb["seed"] + args.seed)
+    batch = make_homography_training_batch(
+        extractor, rng, batch_size=args.batch_size or 4,
+        image_hw=(size, size),
+        difficulty=tb["homography"]["difficulty"],
+        max_angle=tb["homography"]["max_angle"],
+        th_positive=conf["ground_truth"]["th_positive"],
+        th_negative=conf["ground_truth"]["th_negative"],
+    )
+    params = matcher.init(
+        jax.random.PRNGKey(tb["seed"]), batch["kpts0"][0], batch["desc0"][0],
+        batch["kpts1"][0], batch["desc1"][0],
+    )
+    tx = optax.adam(float(tb["lr"]))
+    opt_state = tx.init(params)
+    builder = (
+        build_superglue_train_step
+        if mat_name == "matcher_superglue"
+        else build_matcher_train_step
+    )
+    step = builder(matcher, tx)
+    first = last = None
+    for i in range(args.steps):
+        if i % max(args.steps // 8, 1) == 0:
+            batch = make_homography_training_batch(
+                extractor, rng, batch_size=args.batch_size or 4,
+                image_hw=(size, size),
+                difficulty=tb["homography"]["difficulty"],
+                max_angle=tb["homography"]["max_angle"],
+                th_positive=conf["ground_truth"]["th_positive"],
+                th_negative=conf["ground_truth"]["th_negative"],
+            )
+        params, opt_state, loss = step(params, opt_state, batch)
+        last = float(loss)
+        if first is None:
+            first = last
+        if i % max(args.steps // 10, 1) == 0:
+            print(f"step {i}: loss {last:.4f}")
+    print(json.dumps({
+        "experiment": args.experiment, "steps": args.steps,
+        "loss_first": round(first, 4), "loss_last": round(last, 4),
+    }))
 
 
 def main(argv=None):
@@ -455,6 +534,11 @@ def main(argv=None):
     pm.add_argument("--n-pairs", type=int, default=8)
     pm.add_argument("--image-size", type=int, default=120)
     pm.add_argument("--seed", type=int, default=0)
+    pm.add_argument("--train", action="store_true",
+                    help="train the experiment's matcher on generated "
+                    "homography pairs instead of benchmarking")
+    pm.add_argument("--steps", type=int, default=100)
+    pm.add_argument("--batch-size", type=int, default=None)
     pm.set_defaults(fn=cmd_match)
     for name, fn in [("eval", cmd_eval), ("train", cmd_train), ("demo", cmd_demo), ("bench", cmd_bench)]:
         p = sub.add_parser(name)
