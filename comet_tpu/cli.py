@@ -1,4 +1,4 @@
-"""Command-line interface: ``python -m comet_tpu.cli <train|eval|demo|bench>``.
+"""Command-line interface: ``python -m comet_tpu.cli <train|eval|demo|bench|match>``.
 
 Replaces the reference's four entry scripts (abl_ours.py, abl_test.py,
 test_e2epose2.py, train_e2epose2.py — which must be run from comet/models/
@@ -8,6 +8,7 @@ with a hand-tuned PYTHONPATH and contain a dead training loop) with one CLI:
   train --preset ours --data-root datasets/AMD --epochs 300
   demo  --preset ours --data-root datasets/DCA_SpaceNet/model1/testing
   bench --preset ours
+  match --experiment superpoint+lightglue_homography [--train]
 
 Writes test_results.csv rows compatible with the reference's CsvLogger.
 """
