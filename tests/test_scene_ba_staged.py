@@ -193,3 +193,33 @@ class TestStagedPipeline:
         med = np.median(np.linalg.norm(aligned - want, axis=-1))
         assert med < 0.02, med
         assert np.isfinite(float(rec.rms))
+
+
+class TestStagedPipelineFuzz:
+    def test_random_scenes(self):
+        """Property fuzz: the staged pipeline recovers poses across random
+        scene geometries, noise levels, and outlier fractions."""
+        for seed in (11, 23, 42):
+            r = np.random.default_rng(seed)
+            s = int(r.integers(8, 17))
+            n = int(r.integers(64, 112))
+            noise = float(r.uniform(0.1, 0.5))
+            q, t, k, pts, tracks, vis = _scene(r, s=s, n=n, noise=noise)
+            n_out = int(n * r.uniform(0.05, 0.18))
+            corrupt = jnp.asarray(
+                r.uniform(0, 250, size=(s, n_out, 2)).astype(np.float32)
+            )
+            tracks = tracks.at[:, :n_out].set(corrupt)
+            q0, t0 = _perturb(r, q, t, rot=0.02, trans=0.05)
+            rec = reconstruct_scene(
+                q0, t0, tracks, vis, k, ba_iters=12, ba_rounds=2,
+                max_reproj_error=3.0,
+            )
+            rot_errs = _rot_err_deg(rec.state.q, q)
+            assert np.median(rot_errs) < 1.0, (seed, rot_errs)
+            t_err = np.abs(np.asarray(rec.state.t - t))
+            assert np.median(t_err) < 0.1, (seed, np.median(t_err))
+            valid = np.asarray(rec.valid_tracks)
+            if n_out >= 5:
+                assert valid[:n_out].mean() < 0.35, (seed, valid[:n_out])
+            assert valid[n_out:].mean() > 0.85, (seed,)
