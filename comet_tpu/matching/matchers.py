@@ -11,7 +11,7 @@ matcher jits.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ is provided by the main training stack in comet_tpu.training).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.bilinear import bilinear_sample, sample_features
+from ..ops.bilinear import sample_features
 
 # c1, c2, c3, c4, dim, K (sddh kernel), M (sddh n_pos) — aliked.py:600-637
 ALIKED_CFGS = {

@@ -35,7 +35,6 @@ from ..data.datasets import SequenceSample
 from ..geometry.cameras import CameraSet
 from ..parallel.mesh import (
     data_sharding,
-    make_mesh,
     replicate_params,
     replicated,
     shard_batch,

@@ -9,7 +9,7 @@ accumulates per-scene AUC.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry.quaternions import matrix_to_quat, quat_invert, quat_multiply, quat_to_matrix
+from ..geometry.quaternions import quat_invert, quat_multiply, quat_to_matrix
 
 
 class SimilarityTransform(NamedTuple):
