@@ -441,12 +441,43 @@ def cmd_match(args):
     if args.train:
         _match_train(args)
         return
+    if args.pipeline:
+        _match_pipeline(args)
+        return
     pipeline = build_pipeline(args.experiment, image_hw=(size, size))
     pairs = make_synthetic_pairs(
         args.n_pairs, hw=(size, size), seed=args.seed
     )
     row = run_homography_benchmark(pipeline, pairs)
     print(json.dumps({"experiment": args.experiment, **row}))
+
+
+def _match_pipeline(args):
+    """Run a cached-prediction eval pipeline (the gluefactory
+    `python -m gluefactory.eval.{hpatches,megadepth1500}` entry points):
+    export predictions to <exp-dir>/predictions.h5 (reused on rerun),
+    compute summaries, print them as one JSON row."""
+    from .matching.eval_pipeline import (
+        HomographyEvalPipeline,
+        RelativePoseEvalPipeline,
+    )
+
+    cls = {
+        "hpatches": HomographyEvalPipeline,
+        "relpose": RelativePoseEvalPipeline,
+    }[args.pipeline]
+    conf = {"data": {"n_pairs": args.n_pairs, "seed": args.seed}}
+    if args.pipeline == "hpatches":
+        conf["data"]["image_size"] = args.image_size
+    pipe = cls(conf)
+    exp_dir = args.exp_dir or os.path.join(
+        "outputs", f"match_{args.pipeline}"
+    )
+    summaries, _ = pipe.run(exp_dir, overwrite=args.overwrite,
+                            overwrite_eval=args.overwrite)
+    print(json.dumps({"pipeline": args.pipeline, "exp_dir": exp_dir,
+                      **{k: (round(v, 5) if isinstance(v, float) else v)
+                         for k, v in summaries.items()}}))
 
 
 def _match_train(args):
@@ -535,6 +566,12 @@ def main(argv=None):
     pm.add_argument("--n-pairs", type=int, default=8)
     pm.add_argument("--image-size", type=int, default=120)
     pm.add_argument("--seed", type=int, default=0)
+    pm.add_argument("--pipeline", default=None,
+                    choices=["hpatches", "relpose"],
+                    help="run a cached-prediction eval pipeline instead "
+                    "of the direct benchmark")
+    pm.add_argument("--exp-dir", default=None)
+    pm.add_argument("--overwrite", action="store_true")
     pm.add_argument("--train", action="store_true",
                     help="train the experiment's matcher on generated "
                     "homography pairs instead of benchmarking")

@@ -126,3 +126,24 @@ class TestAlikedBenchmark:
         assert set(row) >= {"num_matches", "prec@3px", "H_error_ransac",
                             "H_acc@3px"}
         assert np.isfinite(row["num_matches"])
+
+
+class TestMatchPipelineCLI:
+    def test_relpose_pipeline_and_cache(self, tmp_path, capsys):
+        import json as _json
+
+        from comet_tpu.cli import main
+
+        exp = str(tmp_path / "rel")
+        main(["match", "--pipeline", "relpose", "--n-pairs", "2",
+              "--exp-dir", exp])
+        row1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "rel_pose_error_mAA" in row1
+        import os
+
+        assert os.path.exists(os.path.join(exp, "predictions.h5"))
+        # rerun hits the cache and reproduces the summaries
+        main(["match", "--pipeline", "relpose", "--n-pairs", "2",
+              "--exp-dir", exp])
+        row2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert row1 == row2
