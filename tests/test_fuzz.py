@@ -202,3 +202,47 @@ class TestEstimatorFuzz:
             assert rerr < 3.0 and terr < 6.0, (seed, rerr, terr)
             checked += 1
         assert checked >= 8  # most scenes must be valid (cheirality)
+
+
+class TestPnPFuzz:
+    def test_solve_pnp_recovers_pose(self):
+        """DLT+LM PnP and EPnP recover random poses from noisy projections."""
+        from comet_tpu.geometry.quaternions import quat_to_matrix
+        from comet_tpu.twoview.pnp import solve_pnp
+        from comet_tpu.twoview.solvers import efficient_pnp
+
+        for seed in range(15):
+            rng = np.random.default_rng(seed)
+            a = rng.normal(size=3) * 0.4
+            th = np.linalg.norm(a)
+            k_ = a / max(th, 1e-9)
+            kx = np.array(
+                [[0, -k_[2], k_[1]], [k_[2], 0, -k_[0]], [-k_[1], k_[0], 0]]
+            )
+            r = np.eye(3) + np.sin(th) * kx + (1 - np.cos(th)) * kx @ kx
+            t = rng.normal(size=3) * 0.5 + np.array([0, 0, 5.0])
+            kmat = np.array([[280.0, 0, 160], [0, 280.0, 120], [0, 0, 1]])
+            n = 48
+            pts = rng.uniform([-2, -2, 2], [2, 2, 8], size=(n, 3))
+            pc = (r @ pts.T).T + t
+            if (pc[:, 2] < 0.2).any():
+                continue
+            uv = (kmat @ pc.T).T
+            uv = uv[:, :2] / uv[:, 2:] + rng.normal(size=(n, 2)) * 0.3
+
+            res = solve_pnp(
+                jnp.asarray(pts, jnp.float32), jnp.asarray(uv, jnp.float32),
+                jnp.asarray(kmat, jnp.float32),
+            )
+            rerr = np.degrees(np.arccos(np.clip(
+                (np.trace(np.asarray(res.r).T @ r) - 1) / 2, -1, 1)))
+            terr = np.linalg.norm(np.asarray(res.t) - t)
+            assert rerr < 0.5 and terr < 0.05, ("lm", seed, rerr, terr)
+
+            pn = (uv - [160, 120]) / 280.0
+            sol = efficient_pnp(
+                jnp.asarray(pts, jnp.float32), jnp.asarray(pn, jnp.float32)
+            )
+            rerr2 = np.degrees(np.arccos(np.clip(
+                (np.trace(np.asarray(sol.r).T @ r) - 1) / 2, -1, 1)))
+            assert rerr2 < 2.0, ("epnp", seed, rerr2)
