@@ -80,6 +80,31 @@ def main():
     for (sc, src), us in sorted(agg_src.items(), key=lambda kv: -kv[1])[:45]:
         print(f"{us/1e3/n_fwd:8.2f}  {sc:55s} {src}")
 
+    # Pallas custom-call time per MODULE instance (which kernel costs what:
+    # per-ViT-block attention, per-updateformer-block fused kernels, ...)
+    import re as _re
+
+    kern = {}
+    pat = _re.compile(
+        r"(backbone/blocks_\d+|self_att_\d+|cross_att_\d+|time_blocks_\d+|"
+        r"space_\w+?_blocks_\d+|cross_attn_block_\d+|trunk_\d+|"
+        r"fine_tracker|coarse_tracker)"
+    )
+    ktotal = 0.0
+    for r in rows:
+        if r["category"] != "custom-call":
+            continue
+        m = meta.get(r["name"])
+        op = m[0] if m else "?"
+        g = pat.search(str(op))
+        key = g.group(1) if g else (str(op)[:60] or r["name"][:40])
+        kern[key] = kern.get(key, 0.0) + r["self_us"]
+        ktotal += r["self_us"]
+    print(f"\n-- Pallas custom-calls by module instance "
+          f"({ktotal/1e3/n_fwd:.2f} ms/fwd total) --")
+    for key, us in sorted(kern.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{us/1e3/n_fwd:8.3f}  {key}")
+
 
 if __name__ == "__main__":
     main()
