@@ -14,9 +14,16 @@ convention, torch ``interpolate(align_corners=False)``), with bilinear
 weights folded into the matrices and out-of-image taps carrying zero
 weight — matching PIL's zero padding for crops that exceed the image.
 
-Bilinear differs from LANCZOS by design: this is the serving/throughput
-path. Eval parity against the reference keeps the host LANCZOS path
-(``DevicePreprocessDataset`` is opt-in via ``--device-preprocess``).
+Two filters: "bilinear" (cheapest, serving/throughput) and "lanczos"
+(PIL's Lanczos-3 expressed as the same kind of sampling matrices —
+matches the host path to PIL's per-pass uint8 rounding). Measured on the
+fixture through the full evaluate() chain
+(tests/test_pipeline_sensitivity.py): device-lanczos tracks the host
+metric row sub-degree, device-bilinear drifts rotation metrics by
+several degrees — so LANCZOS is the parity choice and bilinear the
+speed choice. The host PIL path stays the default
+(``DevicePreprocessDataset`` is opt-in via ``--device-preprocess
+[--device-resample lanczos]``).
 """
 
 from __future__ import annotations
