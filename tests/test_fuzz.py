@@ -246,3 +246,53 @@ class TestPnPFuzz:
             rerr2 = np.degrees(np.arccos(np.clip(
                 (np.trace(np.asarray(sol.r).T @ r) - 1) / 2, -1, 1)))
             assert rerr2 < 2.0, ("epnp", seed, rerr2)
+
+
+class TestFivePointFuzz:
+    def test_nister_ransac_recovers_pose(self):
+        """The evaluation-interpolation 5-point solver + RANSAC recovers
+        random relative poses from noisy minimal-ish correspondence sets."""
+        from comet_tpu.twoview.solvers import estimate_essential_5point_ransac
+
+        def rot(rng, s=0.3):
+            a = rng.normal(size=3) * s
+            th = np.linalg.norm(a)
+            k = a / max(th, 1e-9)
+            kx = np.array(
+                [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]]
+            )
+            return np.eye(3) + np.sin(th) * kx + (1 - np.cos(th)) * kx @ kx
+
+        checked = 0
+        for seed in range(10):
+            rng = np.random.default_rng(100 + seed)
+            n = 40
+            kmat = np.array([[300.0, 0, 320], [0, 300.0, 240], [0, 0, 1]])
+            r = rot(rng)
+            t = rng.normal(size=3)
+            t /= np.linalg.norm(t)
+            pts = rng.uniform([-2, -2, 3], [2, 2, 8], size=(n, 3))
+            p0h = (kmat @ pts.T).T
+            p0 = p0h[:, :2] / p0h[:, 2:]
+            pts1 = (r @ pts.T).T + t
+            if (pts1[:, 2] <= 0.1).any():
+                continue
+            p1h = (kmat @ pts1.T).T
+            p1 = p1h[:, :2] / p1h[:, 2:] + rng.normal(size=(n, 2)) * 0.2
+
+            res, re, te = estimate_essential_5point_ransac(
+                jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32),
+                jnp.asarray(kmat, jnp.float32), jnp.asarray(kmat, jnp.float32),
+                key=jax.random.PRNGKey(seed),
+                threshold=(2.0 / 300.0) ** 2, num_hypotheses=64,
+            )
+            rerr = np.degrees(np.arccos(np.clip(
+                (np.trace(np.asarray(re).T @ r) - 1) / 2, -1, 1
+            )))
+            tdir = np.asarray(te).ravel()
+            terr = np.degrees(np.arccos(np.clip(
+                abs(np.dot(tdir / np.linalg.norm(tdir), t)), -1, 1
+            )))
+            assert rerr < 3.0 and terr < 8.0, (seed, rerr, terr)
+            checked += 1
+        assert checked >= 7
