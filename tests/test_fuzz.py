@@ -296,3 +296,48 @@ class TestFivePointFuzz:
             assert rerr < 3.0 and terr < 8.0, (seed, rerr, terr)
             checked += 1
         assert checked >= 7
+
+
+class TestHomographyDecompositionFuzz:
+    def test_decompose_recovers_plane_motion(self):
+        """Plane-induced homographies H = K (R + t n^T / d) K^-1 decompose
+        into a candidate set containing the true (R, t-direction, n)."""
+        from comet_tpu.twoview.solvers import decompose_homography
+
+        def rot(rng, s=0.25):
+            a = rng.normal(size=3) * s
+            th = np.linalg.norm(a)
+            k = a / max(th, 1e-9)
+            kx = np.array(
+                [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]]
+            )
+            return np.eye(3) + np.sin(th) * kx + (1 - np.cos(th)) * kx @ kx
+
+        for seed in range(20):
+            rng = np.random.default_rng(seed)
+            kmat = np.array([[300.0, 0, 320], [0, 300.0, 240], [0, 0, 1]])
+            r = rot(rng)
+            t = rng.normal(size=3)
+            t /= np.linalg.norm(t)
+            # plane normal roughly facing the camera, distance d
+            n_pl = rng.normal(size=3) * 0.3 + np.array([0, 0, -1.0])
+            n_pl /= np.linalg.norm(n_pl)
+            d = float(rng.uniform(2.0, 6.0))
+            h = kmat @ (r + np.outer(t, n_pl) / d) @ np.linalg.inv(kmat)
+
+            rs, ts, ns = decompose_homography(
+                jnp.asarray(h, jnp.float32), jnp.asarray(kmat, jnp.float32),
+                jnp.asarray(kmat, jnp.float32),
+            )
+            rs, ts, ns = np.asarray(rs), np.asarray(ts), np.asarray(ns)
+            best = np.inf
+            for i in range(rs.shape[0]):
+                rerr = np.degrees(np.arccos(np.clip(
+                    (np.trace(rs[i].T @ r) - 1) / 2, -1, 1
+                )))
+                tn = ts[i] / max(np.linalg.norm(ts[i]), 1e-9)
+                terr = np.degrees(np.arccos(np.clip(
+                    abs(np.dot(tn, t)), -1, 1
+                )))
+                best = min(best, max(rerr, terr))
+            assert best < 1.0, (seed, best)
