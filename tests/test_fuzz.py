@@ -341,3 +341,72 @@ class TestHomographyDecompositionFuzz:
                 )))
                 best = min(best, max(rerr, terr))
             assert best < 1.0, (seed, best)
+
+
+class TestQuaternionScipyFuzz:
+    def test_quat_matrix_roundtrips_vs_scipy(self):
+        """quat<->matrix conversions vs scipy.spatial.transform.Rotation
+        (the reference's convention source: scalar-first wxyz, matching
+        scipy's as_quat(scalar_first=True) / datasets' pose load)."""
+        from scipy.spatial.transform import Rotation
+
+        from comet_tpu.geometry.quaternions import (
+            matrix_to_quat,
+            quat_multiply,
+            quat_to_matrix,
+        )
+
+        rng = np.random.default_rng(0)
+        for _ in range(200):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            # scipy xyzw <- our wxyz
+            r_scipy = Rotation.from_quat(
+                np.r_[q[1:4], q[0]]
+            ).as_matrix()
+            r_ours = np.asarray(quat_to_matrix(jnp.asarray(q, jnp.float64)))
+            np.testing.assert_allclose(r_ours, r_scipy, atol=1e-6)
+
+            q_back = np.asarray(matrix_to_quat(jnp.asarray(r_scipy)))
+            sign = np.sign(np.dot(q_back, q)) or 1.0
+            np.testing.assert_allclose(q_back * sign, q, atol=1e-6)
+
+            # composition order: quat_multiply(a, b) == R_a @ R_b
+            q2 = rng.normal(size=4)
+            q2 /= np.linalg.norm(q2)
+            r2 = Rotation.from_quat(np.r_[q2[1:4], q2[0]]).as_matrix()
+            prod = np.asarray(quat_to_matrix(quat_multiply(
+                jnp.asarray(q, jnp.float64), jnp.asarray(q2, jnp.float64)
+            )))
+            np.testing.assert_allclose(prod, r_scipy @ r2, atol=1e-6)
+
+    def test_euler_branch_matches_reference_formula(self):
+        """euler_xyz_from_matrix vs a literal numpy transcription of the
+        reference's rotationMatrixToEulerAngles (metric.py:302-324),
+        including near-singular matrices."""
+        from comet_tpu.geometry.quaternions import euler_xyz_from_matrix
+        from scipy.spatial.transform import Rotation
+
+        def ref(m):
+            sy = np.sqrt(m[0, 0] ** 2 + m[1, 0] ** 2)
+            if sy >= 1e-6:
+                x = np.arctan2(m[1, 0], m[0, 0])
+                y = np.arctan2(-m[2, 0], sy)
+                z = np.arctan2(m[2, 1], m[2, 2])
+            else:
+                x = 0.0
+                y = np.arctan2(-m[2, 0], sy)
+                z = np.arctan2(-m[1, 2], m[1, 1])
+            return np.array([x, y, z])
+
+        rng = np.random.default_rng(1)
+        mats = [Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+                for _ in range(150)]
+        # near-gimbal-lock cases: y ~ +-90 deg
+        for sgn in (+1, -1):
+            mats.append(
+                Rotation.from_euler("ZYX", [0.3, sgn * (np.pi / 2 - 1e-8), 0.2]
+                                    ).as_matrix())
+        for m in mats:
+            ours = np.asarray(euler_xyz_from_matrix(jnp.asarray(m)))
+            np.testing.assert_allclose(ours, ref(m), atol=1e-5)
