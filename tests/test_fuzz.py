@@ -410,3 +410,37 @@ class TestQuaternionScipyFuzz:
         for m in mats:
             ours = np.asarray(euler_xyz_from_matrix(jnp.asarray(m)))
             np.testing.assert_allclose(ours, ref(m), atol=1e-5)
+
+
+class TestBilinearFuzz:
+    def test_bilinear_sample_vs_grid_sample_random(self):
+        """bilinear_sample vs torch F.grid_sample over random map sizes,
+        both padding modes, coords far outside the map."""
+        import torch
+        import torch.nn.functional as F
+
+        from comet_tpu.ops.bilinear import bilinear_sample
+
+        for seed in range(30):
+            rng = np.random.default_rng(seed)
+            h = int(rng.integers(2, 40))
+            w = int(rng.integers(2, 40))
+            c = int(rng.integers(1, 8))
+            n = int(rng.integers(1, 50))
+            mode = ["border", "zeros"][seed % 2]
+            fmap = rng.normal(size=(h, w, c)).astype(np.float32)
+            pts = (
+                rng.uniform(-5, max(h, w) + 5, size=(n, 2))
+            ).astype(np.float32)
+            ours = np.asarray(
+                bilinear_sample(jnp.asarray(fmap), jnp.asarray(pts), mode)
+            )
+            t_in = torch.from_numpy(fmap).permute(2, 0, 1)[None]
+            sizes = (h, w)
+            scale = torch.tensor([2 / max(s - 1, 1) for s in reversed(sizes)])
+            t_pts = torch.from_numpy(pts)[None, :, None, :] * scale - 1
+            theirs = F.grid_sample(
+                t_in, t_pts, align_corners=True, padding_mode=mode
+            )[0, :, :, 0].T.numpy()
+            np.testing.assert_allclose(ours, theirs, atol=2e-5,
+                                       err_msg=f"seed={seed} mode={mode}")
