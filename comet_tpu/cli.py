@@ -49,6 +49,12 @@ def _common(parser):
         "host path to PIL's uint8 rounding)",
     )
     parser.add_argument(
+        "--loader", default="pil", choices=["pil", "native"],
+        help="frame loader: pil (reference-parity host path) or native "
+        "(C++ cometio: threaded libjpeg/libpng decode + PIL-bit-exact "
+        "LANCZOS — identical samples, ~3x faster host side)",
+    )
+    parser.add_argument(
         "--demo-seq-len", type=int, default=None,
         help="demo: total frames per sequence; when > seqlen the model runs "
         "in sliding windows of seqlen with pose chaining (windowed mode)",
@@ -80,13 +86,25 @@ def _build(args):
 
 
 def _maybe_device_preprocess(dataset, args):
-    """Wrap a dataset in the XLA preprocessing fast path when requested."""
-    if getattr(args, "device_preprocess", False):
+    """Wrap a dataset in the requested preprocessing fast path (XLA
+    device pipeline or the native C++ loader)."""
+    device = getattr(args, "device_preprocess", False)
+    native_loader = getattr(args, "loader", "pil") == "native"
+    if device and native_loader:
+        raise SystemExit(
+            "--device-preprocess and --loader native both replace the "
+            "preprocessing stage; pick one"
+        )
+    if device:
         from .data.device_pipeline import DevicePreprocessDataset
 
         return DevicePreprocessDataset(
             dataset, resample=getattr(args, "device_resample", "bilinear")
         )
+    if native_loader:
+        from .data.native_loader import NativeLoaderDataset
+
+        return NativeLoaderDataset(dataset)
     return dataset
 
 

@@ -87,6 +87,25 @@ def mask_bbox(mask: np.ndarray) -> List[float]:
     return [float(xs.min()), float(ys.min()), float(xs.max() + 1), float(ys.max() + 1)]
 
 
+def compute_sequence_square(bboxes, crop_size: int):
+    """Sequence-level union bbox + 15% margin -> integer square crop box.
+
+    Shared by the PIL and native meta paths
+    (kubric_movif_SFM_dataset_YT.py:228-246). Returns (square, ratio).
+    """
+    bb = np.asarray(bboxes, np.float64)
+    union = np.array(
+        [bb[:, 0].min(), bb[:, 1].min(), bb[:, 2].max(), bb[:, 3].max()]
+    )
+    bbox_size = max(union[2] - union[0], union[3] - union[1])
+    size_with_margin = bbox_size * 1.3
+    margin = bbox_size * 0.15
+    union = union + np.array([-margin, -margin, margin, margin])
+    square = make_bbox_square(union, size_with_margin)
+    ratio = crop_size / size_with_margin
+    return square, ratio
+
+
 @dataclass
 class SequenceSample:
     """One loaded sequence — mirrors the reference dataset's dict output
@@ -161,11 +180,14 @@ class VideoPoseDataset:
     def __getitem__(self, index: int) -> SequenceSample:
         return self.load_sequence(self.seq_names[index])
 
-    def _load_common(self, seq_name: str):
+    def _load_common(self, seq_name: str, decode_frames: bool = True):
         """Decode frames/masks/poses and compute the sequence square crop.
 
-        Shared head of the host (PIL LANCZOS) and device (XLA matmul-resize)
-        preprocessing paths."""
+        Shared head of the host (PIL LANCZOS), device (XLA matmul-resize)
+        and native (C++ cometio) preprocessing paths. With
+        ``decode_frames=False`` the frame images are NOT decoded (imgs
+        holds the on-disk paths instead) — the native loader decodes them
+        in its own thread pool (data/native_loader.py)."""
         frames_dir, gts_dir, masks_dir = self._frame_dirs(seq_name)
         fpre, gpre, mpre = self._frame_prefixes()
         image_names = sorted(f for f in os.listdir(frames_dir) if f.startswith(fpre))
@@ -181,7 +203,8 @@ class VideoPoseDataset:
         imgs, masks, bboxes = [], [], []
         t_list, q_list, uvz_list, r_list, names = [], [], [], [], []
         for ind in sel:
-            img = Image.open(os.path.join(frames_dir, image_names[ind])).convert("RGB")
+            path = os.path.join(frames_dir, image_names[ind])
+            img = Image.open(path).convert("RGB") if decode_frames else path
             mask = np.array(
                 Image.open(os.path.join(masks_dir, mask_names[ind])).convert("L"),
                 np.uint8,
@@ -205,15 +228,7 @@ class VideoPoseDataset:
             r_list.append(r_mat)
             names.append(image_names[ind])
 
-        # sequence-level union bbox + 15% margin -> square crop
-        bb = np.array(bboxes)
-        union = np.array([bb[:, 0].min(), bb[:, 1].min(), bb[:, 2].max(), bb[:, 3].max()])
-        bbox_size = max(union[2] - union[0], union[3] - union[1])
-        size_with_margin = bbox_size * 1.3
-        margin = bbox_size * 0.15
-        union = union + np.array([-margin, -margin, margin, margin])
-        square = make_bbox_square(union, size_with_margin)
-        ratio = self.crop_size / size_with_margin
+        square, ratio = compute_sequence_square(bboxes, self.crop_size)
         return imgs, masks, t_list, q_list, uvz_list, r_list, names, square, ratio
 
     def load_sequence(self, seq_name: str) -> SequenceSample:

@@ -1,0 +1,191 @@
+"""Native (C++) IO core vs the PIL reference path.
+
+The cometio library (comet_tpu/native/cometio.cpp) claims BIT-EXACT
+parity with PIL for decode and for crop+LANCZOS resampling (Pillow
+Resample.c 8bpc fixed-point semantics), and full-sample equality for the
+wrapped dataset. Every test here asserts exact equality — no tolerances.
+
+Skipped wholesale if the toolchain/codec libraries are unavailable in
+the environment (native.available() is False).
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from comet_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason=f"native library unavailable: {native.build_error()}",
+)
+
+
+@pytest.fixture(scope="module")
+def amd_root(tmp_path_factory):
+    from comet_tpu.data.fixtures import generate_amd_fixture
+
+    root = tmp_path_factory.mktemp("amd_native")
+    generate_amd_fixture(
+        str(root), n_models=1, n_seqs=2, n_frames=12, img_hw=(120, 160)
+    )
+    return str(root)
+
+
+class TestDecode:
+    def test_png_rgb_exact(self, tmp_path, rng):
+        img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+        p = str(tmp_path / "a.png")
+        Image.fromarray(img).save(p)
+        assert np.array_equal(
+            native.decode_rgb(p), np.asarray(Image.open(p).convert("RGB"))
+        )
+
+    def test_png_gray_to_rgb_exact(self, tmp_path, rng):
+        gray = rng.integers(0, 256, (31, 29)).astype(np.uint8)
+        p = str(tmp_path / "g.png")
+        Image.fromarray(gray).save(p)
+        assert np.array_equal(
+            native.decode_rgb(p), np.asarray(Image.open(p).convert("RGB"))
+        )
+
+    def test_jpeg_exact_same_libjpeg(self, tmp_path, rng):
+        # PIL links the same system libjpeg with the same ISLOW DCT, so
+        # even lossy decode agrees byte-for-byte
+        img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+        p = str(tmp_path / "a.jpg")
+        Image.fromarray(img).save(p, quality=85)
+        assert np.array_equal(
+            native.decode_rgb(p), np.asarray(Image.open(p).convert("RGB"))
+        )
+
+    def test_decode_gray_luma_parity(self, tmp_path, rng):
+        img = rng.integers(0, 256, (25, 33, 3)).astype(np.uint8)
+        p = str(tmp_path / "c.png")
+        Image.fromarray(img).save(p)
+        assert np.array_equal(
+            native.decode_gray(p), np.asarray(Image.open(p).convert("L"))
+        )
+
+    def test_image_size_header_only(self, tmp_path, rng):
+        img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+        for name in ("s.png", "s.jpg"):
+            p = str(tmp_path / name)
+            Image.fromarray(img).save(p)
+            assert native.decode_rgb(p).shape == (17, 23, 3)
+
+
+class TestCropResizeLanczos:
+    BOXES = [
+        (-50, -30, 130, 150),  # crop exceeding every border (zero pad)
+        (10, 5, 100, 95),  # interior
+        (0, 0, 160, 120),  # full image
+        (30, 20, 34, 24),  # tiny box, big upscale
+        (150, 110, 250, 210),  # mostly outside
+    ]
+
+    @pytest.mark.parametrize("out_size", [64, 37, 200])
+    def test_bit_exact_vs_pil(self, rng, out_size):
+        src = rng.integers(0, 256, (120, 160, 3)).astype(np.uint8)
+        pil = Image.fromarray(src)
+        for box in self.BOXES:
+            ref = np.asarray(
+                pil.crop(box).resize(
+                    (out_size, out_size), Image.Resampling.LANCZOS
+                )
+            )
+            got = native.crop_resize_lanczos(src, box, out_size)
+            assert np.array_equal(ref, got), (box, out_size)
+
+    def test_fuzz_random_boxes(self, rng):
+        src = rng.integers(0, 256, (90, 110, 3)).astype(np.uint8)
+        pil = Image.fromarray(src)
+        for _ in range(25):
+            x0, y0 = rng.integers(-40, 80, 2)
+            w, h = rng.integers(4, 160, 2)
+            box = (int(x0), int(y0), int(x0 + w), int(y0 + h))
+            out_size = int(rng.integers(8, 128))
+            ref = np.asarray(
+                pil.crop(box).resize(
+                    (out_size, out_size), Image.Resampling.LANCZOS
+                )
+            )
+            got = native.crop_resize_lanczos(src, box, out_size)
+            assert np.array_equal(ref, got), (box, out_size)
+
+    def test_single_channel(self, rng):
+        src = rng.integers(0, 256, (60, 70)).astype(np.uint8)
+        ref = np.asarray(
+            Image.fromarray(src)
+            .crop((5, 5, 55, 55))
+            .resize((32, 32), Image.Resampling.LANCZOS)
+        )
+        got = native.crop_resize_lanczos(src, (5, 5, 55, 55), 32)
+        assert got.shape == (32, 32)
+        assert np.array_equal(ref, got)
+
+
+class TestLoadMasks:
+    def test_bboxes_and_mask0(self, tmp_path, rng):
+        from comet_tpu.data.datasets import mask_bbox
+
+        paths, refs = [], []
+        for i in range(4):
+            mask = np.zeros((50, 60), np.uint8)
+            if i != 2:  # one empty mask exercises the full-image fallback
+                y, x = rng.integers(5, 30, 2)
+                mask[y : y + 12, x : x + 15] = 255
+            p = str(tmp_path / f"m{i}.png")
+            Image.fromarray(mask).save(p)
+            paths.append(p)
+            refs.append(mask)
+        bboxes, mask0 = native.load_masks(paths)
+        assert np.array_equal(mask0, refs[0])
+        for i, m in enumerate(refs):
+            assert bboxes[i].tolist() == mask_bbox(m), i
+
+
+class TestNativeLoaderDataset:
+    def test_full_sample_equality_amd(self, amd_root):
+        from comet_tpu.data.datasets import AMDDataset
+        from comet_tpu.data.native_loader import NativeLoaderDataset
+
+        base = AMDDataset(amd_root, crop_size=64, seq_len=8)
+        nds = NativeLoaderDataset(base)
+        assert len(nds) == len(base)
+        for i in range(len(base)):
+            a, b = base[i], nds[i]
+            assert np.array_equal(a.images, b.images)
+            assert np.array_equal(a.first_mask, b.first_mask)
+            assert np.array_equal(a.t_xyz, b.t_xyz)
+            assert np.array_equal(a.q_wxyz, b.q_wxyz)
+            assert np.array_equal(a.t_uvz, b.t_uvz)
+            assert np.array_equal(a.r_matrix, b.r_matrix)
+            assert a.ratio == b.ratio
+            assert a.seq_name == b.seq_name
+            assert a.image_names == b.image_names
+
+    def test_full_sample_equality_dca(self, tmp_path):
+        from comet_tpu.data.datasets import DCADataset
+        from comet_tpu.data.fixtures import generate_dca_fixture
+        from comet_tpu.data.native_loader import NativeLoaderDataset
+
+        root = generate_dca_fixture(
+            str(tmp_path), n_seqs=1, n_frames=10, img_hw=(96, 96)
+        )
+        base = DCADataset(root, crop_size=48, seq_len=8)
+        a = base[0]
+        b = NativeLoaderDataset(base)[0]
+        assert np.array_equal(a.images, b.images)
+        assert np.array_equal(a.first_mask, b.first_mask)
+        assert a.ratio == b.ratio
+
+    def test_cli_flag_conflict(self):
+        from comet_tpu.cli import _maybe_device_preprocess
+
+        class Args:
+            device_preprocess = True
+            loader = "native"
+
+        with pytest.raises(SystemExit):
+            _maybe_device_preprocess(object(), Args())
