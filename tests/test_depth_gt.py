@@ -1,0 +1,439 @@
+"""Depth-based GT match generation (matching/depth_gt.py).
+
+Behavior tests on an analytic plane scene plus a torch-parity test that
+loads the reference's own gluefactory/geometry package (read-only, kornia
+stubbed) and diffs gt_matches_from_pose_depth outputs pair for pair.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comet_tpu.matching.depth_gt import (
+    dense_warp_consistency,
+    essential_to_fundamental,
+    gt_line_matches_from_homography,
+    gt_matches_from_pose_depth,
+    pose_to_essential,
+    project_points_with_depth,
+    sample_depth,
+    sym_epipolar_distance_all,
+)
+from comet_tpu.matching.gt_generation import IGNORE, UNMATCHED
+
+
+# ---------------------------------------------------------------------------
+# analytic plane scene: world plane z = z0 in cam0's frame; cam1 at (R, t)
+# ---------------------------------------------------------------------------
+
+H, W = 64, 80
+Z0 = 4.0
+
+
+def _k(f=60.0, cx=W / 2, cy=H / 2):
+    return np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
+
+
+def _pose(yaw_deg=4.0, t=(0.15, -0.05, 0.1)):
+    a = np.deg2rad(yaw_deg)
+    r = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+    )
+    return r, np.asarray(t, np.float64)
+
+
+def _plane_depth(k, r_0toc, t_0toc, h=H, w=W):
+    """Per-pixel depth of the plane z=Z0 (cam0 frame) seen from camera c
+    (x_c = R x_0 + t). Ray through pixel center (u+.5, v+.5)."""
+    ys, xs = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5, indexing="ij")
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ np.linalg.inv(k).T
+    n_c = r_0toc @ np.array([0.0, 0.0, 1.0])  # plane normal in cam frame
+    off = Z0 + n_c @ t_0toc  # n_c . x_c = off
+    lam = off / np.einsum("hwc,c->hw", rays, n_c)
+    return (lam * rays[..., 2]).astype(np.float32)  # z-depth
+
+
+def _scene(n_pts=24, seed=0):
+    rng = np.random.default_rng(seed)
+    k0, k1 = _k(), _k(f=65.0)
+    r, t = _pose()
+    # 3D points on the plane, limited spread so both views see them
+    xy = rng.uniform(-1.2, 1.2, (n_pts, 2))
+    p0 = np.concatenate([xy, np.full((n_pts, 1), Z0)], -1)  # cam0 frame
+    kp0 = (p0 / p0[:, 2:]) @ k0.T
+    p1 = p0 @ r.T + t
+    kp1 = (p1 / p1[:, 2:]) @ k1.T
+    d0 = _plane_depth(k0, np.eye(3), np.zeros(3))
+    d1 = _plane_depth(k1, r, t)
+    inb0 = ((kp0[:, :2] > 2) & (kp0[:, :2] < [W - 3, H - 3])).all(1)
+    inb1 = ((kp1[:, :2] > 2) & (kp1[:, :2] < [W - 3, H - 3])).all(1)
+    keep = inb0 & inb1
+    return (
+        kp0[keep, :2],
+        kp1[keep, :2],
+        d0,
+        d1,
+        k0,
+        k1,
+        r,
+        t,
+    )
+
+
+class TestSampleDepth:
+    def test_bilinear_interior(self):
+        rng = np.random.default_rng(1)
+        depth = (1.0 + np.arange(H)[:, None] * 0.01 + np.arange(W) * 0.02).astype(
+            np.float32
+        )
+        pts = rng.uniform(2, [W - 3, H - 3], (50, 2))
+        got, valid = sample_depth(jnp.asarray(pts), jnp.asarray(depth))
+        # the map is affine in (x, y): bilinear interpolation is exact
+        want = 1.0 + (pts[:, 1] - 0.5) * 0.01 + (pts[:, 0] - 0.5) * 0.02
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+        assert bool(np.all(valid))
+
+    def test_invalid_region_falls_back_or_invalidates(self):
+        depth = np.full((H, W), 2.0, np.float32)
+        depth[:, : W // 2] = 0.0  # left half invalid
+        pts = jnp.asarray([[W // 2 + 0.1, 10.0], [5.0, 10.0]])
+        got, valid = sample_depth(pts, jnp.asarray(depth))
+        # first point straddles the boundary -> nearest fallback, stays valid
+        assert bool(valid[0]) and float(got[0]) == 2.0
+        # second point deep in the hole -> invalid
+        assert not bool(valid[1])
+
+    def test_out_of_image_invalid(self):
+        depth = jnp.full((H, W), 2.0)
+        _, valid = sample_depth(jnp.asarray([[-3.0, 5.0], [W + 1.0, 5.0]]), depth)
+        assert not bool(valid[0]) and not bool(valid[1])
+
+
+class TestProjection:
+    def test_identity_pose_roundtrip(self):
+        kp0, _, d0, _, k0, _, _, _ = _scene()
+        d, valid = sample_depth(jnp.asarray(kp0), jnp.asarray(d0))
+        kp_j, vis = project_points_with_depth(
+            jnp.asarray(kp0), d, jnp.asarray(k0), jnp.asarray(k0),
+            jnp.eye(3), jnp.zeros(3), valid, size_j=(W, H),
+        )
+        np.testing.assert_allclose(np.asarray(kp_j), kp0, atol=1e-3)
+        assert bool(np.all(vis))
+
+    def test_circle_consistency_rejects_wrong_depth(self):
+        kp0, _, d0, d1, k0, k1, r, t = _scene()
+        d, valid = sample_depth(jnp.asarray(kp0), jnp.asarray(d0))
+        # correct depth map in view 1 -> consistent
+        _, vis_ok = project_points_with_depth(
+            jnp.asarray(kp0), d, jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(r), jnp.asarray(t), valid,
+            depth_j=jnp.asarray(d1), cc_th=0.25, size_i=(W, H), size_j=(W, H),
+        )
+        assert np.mean(np.asarray(vis_ok)) > 0.9
+        # corrupted view-1 depth -> circle consistency rejects (the
+        # roundtrip reprojection error scales with parallax * depth error)
+        _, vis_bad = project_points_with_depth(
+            jnp.asarray(kp0), d, jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(r), jnp.asarray(t), valid,
+            depth_j=jnp.asarray(d1) * 2.0, cc_th=0.25,
+            size_i=(W, H), size_j=(W, H),
+        )
+        assert np.mean(np.asarray(vis_bad)) < 0.1
+
+
+class TestGtMatchesFromPoseDepth:
+    def test_identity_assignment(self):
+        kp0, kp1, d0, d1, k0, k1, r, t = _scene()
+        out = gt_matches_from_pose_depth(
+            jnp.asarray(kp0), jnp.asarray(kp1), jnp.asarray(d0), jnp.asarray(d1),
+            jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(r), jnp.asarray(t),
+        )
+        n = kp0.shape[0]
+        m0 = np.asarray(out["matches0"])
+        np.testing.assert_array_equal(m0, np.arange(n))
+        np.testing.assert_array_equal(np.asarray(out["matches1"]), np.arange(n))
+        assert np.asarray(out["assignment"]).sum() == n
+
+    def test_unmatched_negatives(self):
+        kp0, kp1, d0, d1, k0, k1, r, t = _scene()
+        # extra view-1 keypoints far (>{neg_th} px) from every warped kp0
+        extra = np.array([[3.0, 3.0], [W - 4.0, H - 4.0]])
+        kp1x = np.concatenate([kp1, extra])
+        out = gt_matches_from_pose_depth(
+            jnp.asarray(kp0), jnp.asarray(kp1x), jnp.asarray(d0), jnp.asarray(d1),
+            jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(r), jnp.asarray(t),
+        )
+        m1 = np.asarray(out["matches1"])
+        np.testing.assert_array_equal(m1[: kp1.shape[0]], np.arange(kp1.shape[0]))
+        assert (m1[kp1.shape[0]:] == UNMATCHED).all()
+
+    def test_invalid_depth_ignores_then_epi_recovers(self):
+        kp0, kp1, d0, d1, k0, k1, r, t = _scene()
+        d0x = d0.copy()
+        # kill depth in a disk around the first keypoint
+        cx, cy = kp0[0]
+        ys, xs = np.mgrid[0:H, 0:W]
+        d0x[(xs - cx) ** 2 + (ys - cy) ** 2 < 25] = 0.0
+        out = gt_matches_from_pose_depth(
+            jnp.asarray(kp0), jnp.asarray(kp1), jnp.asarray(d0x), jnp.asarray(d1),
+            jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(r), jnp.asarray(t),
+        )
+        assert int(out["matches0"][0]) == IGNORE
+        # with epipolar mining the depthless point stays IGNORE here because
+        # its true counterpart is epipolar-near; a far-off depthless point
+        # would become UNMATCHED — emulate one in the corner
+        kp0x = np.concatenate([kp0, [[2.0, 2.0]]])
+        d0y = d0.copy()
+        d0y[:8, :8] = 0.0
+        out2 = gt_matches_from_pose_depth(
+            jnp.asarray(kp0x), jnp.asarray(kp1), jnp.asarray(d0y), jnp.asarray(d1),
+            jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(r), jnp.asarray(t),
+            epi_threshold=1.0,
+        )
+        m0 = np.asarray(out2["matches0"])
+        assert m0[-1] in (UNMATCHED, IGNORE)
+
+    def test_jit_compatible(self):
+        import jax
+
+        kp0, kp1, d0, d1, k0, k1, r, t = _scene()
+        fn = jax.jit(
+            lambda *a: gt_matches_from_pose_depth(*a)["matches0"]
+        )
+        m0 = fn(
+            jnp.asarray(kp0), jnp.asarray(kp1), jnp.asarray(d0), jnp.asarray(d1),
+            jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(r), jnp.asarray(t),
+        )
+        np.testing.assert_array_equal(np.asarray(m0), np.arange(kp0.shape[0]))
+
+
+class TestEpipolar:
+    def test_perfect_correspondence_zero_distance(self):
+        kp0, kp1, _, _, k0, k1, r, t = _scene()
+        f = essential_to_fundamental(
+            pose_to_essential(jnp.asarray(r), jnp.asarray(t)),
+            jnp.asarray(k0), jnp.asarray(k1),
+        )
+        d = np.asarray(
+            sym_epipolar_distance_all(jnp.asarray(kp0), jnp.asarray(kp1), f)
+        )
+        # the diagonal pairs are true correspondences -> distance ~ 0
+        # (float32 arithmetic on ~50 px coordinates)
+        np.testing.assert_allclose(np.diag(d), 0.0, atol=1e-4)
+        # off-diagonal entries are generically non-zero
+        off = d + np.eye(d.shape[0]) * 1e9
+        assert np.median(off) > 0.1
+
+    def test_matches_manual_formula(self):
+        rng = np.random.default_rng(3)
+        f = rng.normal(size=(3, 3))
+        p0 = rng.uniform(0, 60, (7, 2))
+        p1 = rng.uniform(0, 60, (5, 2))
+        got = np.asarray(
+            sym_epipolar_distance_all(jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(f))
+        )
+        for i in range(7):
+            for j in range(5):
+                x0 = np.array([*p0[i], 1.0])
+                x1 = np.array([*p1[j], 1.0])
+                l1 = f @ x0
+                l0 = f.T @ x1
+                num = abs(x1 @ f @ x0)
+                want = num * (
+                    1 / np.hypot(l1[0], l1[1]) + 1 / np.hypot(l0[0], l0[1])
+                )
+                np.testing.assert_allclose(got[i, j], want, rtol=1e-4)
+
+
+class TestDenseWarp:
+    def test_identity(self):
+        d0 = np.full((H, W), Z0, np.float32)
+        k = jnp.asarray(_k())
+        warped, valid = dense_warp_consistency(
+            jnp.asarray(d0), jnp.asarray(d0), k, k, jnp.eye(3), jnp.zeros(3)
+        )
+        ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
+        np.testing.assert_allclose(np.asarray(warped[..., 0]), xs, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(warped[..., 1]), ys, atol=1e-3)
+        # in_image validity is [0, size-1] (wrappers.py:333): the outer
+        # half-pixel band's centers land outside and are correctly invalid
+        assert bool(np.all(valid[:-1, :-1]))
+        assert not bool(np.any(valid[-1, :])) and not bool(np.any(valid[:, -1]))
+
+    def test_plane_scene_consistent(self):
+        _, _, d0, d1, k0, k1, r, t = _scene()
+        warped, valid = dense_warp_consistency(
+            jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(r), jnp.asarray(t), cc_th=1.0,
+        )
+        v = np.asarray(valid)
+        assert v.mean() > 0.5  # the overlapping region is consistent
+        # valid warps land inside image 1
+        wv = np.asarray(warped)[v]
+        assert (wv[:, 0] >= 0).all() and (wv[:, 0] <= W - 1).all()
+
+
+class TestLineGt:
+    def test_homography_identity(self):
+        rng = np.random.default_rng(5)
+        h = np.array([[1.02, 0.01, 2.0], [-0.01, 0.98, -1.5], [1e-4, -5e-5, 1.0]])
+        a = rng.uniform(10, 50, (6, 2))
+        b = a + rng.uniform(8, 20, (6, 2))
+        lines0 = np.stack([a, b], 1)
+        # lines1 = exact warp of lines0's endpoints
+        def warp(p):
+            q = np.concatenate([p, np.ones((len(p), 1))], -1) @ h.T
+            return q[:, :2] / q[:, 2:]
+
+        lines1 = np.stack([warp(a), warp(b)], 1)
+        out = gt_line_matches_from_homography(
+            jnp.asarray(lines0), jnp.asarray(lines1), jnp.asarray(h)
+        )
+        np.testing.assert_array_equal(np.asarray(out["line_matches0"]), np.arange(6))
+        np.testing.assert_array_equal(np.asarray(out["line_matches1"]), np.arange(6))
+
+    def test_unrelated_line_unmatched(self):
+        h = np.eye(3)
+        lines0 = np.asarray([[[10.0, 10.0], [30.0, 10.0]]])
+        lines1 = np.asarray(
+            [[[10.0, 10.0], [30.0, 10.0]], [[10.0, 40.0], [30.0, 42.0]]]
+        )
+        out = gt_line_matches_from_homography(
+            jnp.asarray(lines0), jnp.asarray(lines1), jnp.asarray(h)
+        )
+        m1 = np.asarray(out["line_matches1"])
+        assert m1[0] == 0 and m1[1] == UNMATCHED
+
+
+class TestRegistryModels:
+    def test_homography_matcher_model(self):
+        from comet_tpu.matching.registry import get_model
+
+        rng = np.random.default_rng(7)
+        kp = rng.uniform(5, 55, (12, 2))
+        matcher = get_model("matcher_homography")
+        out = matcher(
+            {"keypoints": jnp.asarray(kp)},
+            {"keypoints": jnp.asarray(kp)},
+            {"H_0to1": jnp.eye(3)},
+        )
+        np.testing.assert_array_equal(np.asarray(out["matches0"]), np.arange(12))
+
+    def test_depth_matcher_model(self):
+        from comet_tpu.matching.registry import get_model
+
+        kp0, kp1, d0, d1, k0, k1, r, t = _scene()
+        matcher = get_model("matcher_depth")
+        out = matcher(
+            {"keypoints": jnp.asarray(kp0)},
+            {"keypoints": jnp.asarray(kp1)},
+            {
+                "depth0": jnp.asarray(d0),
+                "depth1": jnp.asarray(d1),
+                "K0": jnp.asarray(k0),
+                "K1": jnp.asarray(k1),
+                "R_0to1": jnp.asarray(r),
+                "t_0to1": jnp.asarray(t),
+            },
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["matches0"]), np.arange(kp0.shape[0])
+        )
+
+
+# ---------------------------------------------------------------------------
+# torch parity vs the reference's own gt_generation (read-only import)
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_geometry():
+    """Import /root/reference/gluefactory/geometry as a standalone package
+    (kornia stubbed — only sample_normals_from_depth needs it)."""
+    import importlib.util
+    import sys
+    import types
+
+    if "kornia" not in sys.modules:
+        k = types.ModuleType("kornia")
+        k.geometry = types.ModuleType("kornia.geometry")
+        k.geometry.depth = types.ModuleType("kornia.geometry.depth")
+        sys.modules["kornia"] = k
+        sys.modules["kornia.geometry"] = k.geometry
+        sys.modules["kornia.geometry.depth"] = k.geometry.depth
+    if "gfgeo" not in sys.modules:
+        pkg = types.ModuleType("gfgeo")
+        pkg.__path__ = ["/root/reference/gluefactory/geometry"]
+        sys.modules["gfgeo"] = pkg
+    spec = importlib.util.spec_from_file_location(
+        "gfgeo.gt_generation",
+        "/root/reference/gluefactory/geometry/gt_generation.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["gfgeo.gt_generation"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+class TestTorchParity:
+    def test_gt_matches_from_pose_depth(self):
+        torch = pytest.importorskip("torch")
+        ref = _load_ref_geometry()
+        from gfgeo.wrappers import Camera, Pose  # noqa: E402
+
+        kp0, kp1, d0, d1, k0, k1, r, t = _scene(n_pts=40, seed=11)
+        # add ambiguity: far negatives and a depth hole
+        kp1 = np.concatenate([kp1, [[3.0, 3.0], [W - 4.0, 6.0]]])
+        d0 = d0.copy()
+        d0[:10, :12] = 0.0
+
+        t44 = np.eye(4)
+        t44[:3, :3] = r
+        t44[:3, 3] = t
+        tt = torch.tensor(t44, dtype=torch.float64)[None]
+
+        def cam(k):
+            c = Camera.from_calibration_matrix(
+                torch.tensor(k, dtype=torch.float64)[None]
+            )
+            # install the true image size (from_calibration_matrix guesses
+            # 2*principal point; the depth maps define the real bounds)
+            c._data[..., 0] = W
+            c._data[..., 1] = H
+            return c
+
+        data = {
+            "view0": {
+                "camera": cam(k0),
+                "depth": torch.tensor(d0, dtype=torch.float64)[None],
+            },
+            "view1": {
+                "camera": cam(k1),
+                "depth": torch.tensor(d1, dtype=torch.float64)[None],
+            },
+            "T_0to1": Pose.from_4x4mat(tt),
+            "T_1to0": Pose.from_4x4mat(tt).inv(),
+        }
+        want = ref.gt_matches_from_pose_depth(
+            torch.tensor(kp0, dtype=torch.float64)[None],
+            torch.tensor(kp1, dtype=torch.float64)[None],
+            data,
+            pos_th=3,
+            neg_th=5,
+        )
+        got = gt_matches_from_pose_depth(
+            jnp.asarray(kp0), jnp.asarray(kp1),
+            jnp.asarray(d0), jnp.asarray(d1),
+            jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(r), jnp.asarray(t),
+            pos_threshold=3.0, neg_threshold=5.0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["matches0"]), want["matches0"][0].numpy()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["matches1"]), want["matches1"][0].numpy()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["assignment"]), want["assignment"][0].numpy()
+        )
