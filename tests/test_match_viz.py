@@ -1,0 +1,106 @@
+"""Two-view match visualization (matching/viz.py — viz2d equivalent)."""
+
+import os
+
+import numpy as np
+
+from comet_tpu.matching.viz import (
+    cm_RdGn,
+    draw_epipolar_lines,
+    draw_keypoints,
+    draw_line_matches,
+    draw_lines,
+    draw_matches,
+    heatmap_overlay,
+    plot_cumulative_errors,
+    side_by_side,
+)
+
+H, W = 48, 64
+
+
+def _img(seed=0):
+    return np.random.default_rng(seed).integers(0, 255, (H, W, 3), np.uint8)
+
+
+class TestPrimitives:
+    def test_cm_rdgn_endpoints(self):
+        np.testing.assert_allclose(cm_RdGn(0.0), [1, 0, 0])
+        np.testing.assert_allclose(cm_RdGn(1.0), [0, 1, 0])
+        np.testing.assert_allclose(cm_RdGn([0.5]), [[0.5, 0.5, 0]])
+
+    def test_side_by_side_offsets(self):
+        canvas, off = side_by_side(_img(0), _img(1))
+        assert off == W + 4
+        assert canvas.shape == (H, 2 * W + 4, 3)
+        np.testing.assert_array_equal(canvas[:, :W], _img(0))
+        np.testing.assert_array_equal(canvas[:, off:], _img(1))
+
+    def test_side_by_side_float_and_gray(self):
+        canvas, _ = side_by_side(np.zeros((H, W)), np.ones((H, W, 3)) * 0.5)
+        assert canvas.dtype == np.uint8
+        assert (canvas[:, :W] == 0).all()
+
+
+class TestDrawing:
+    def test_keypoints_mark_pixels(self):
+        img = np.zeros((H, W, 3), np.uint8)
+        kpts = np.array([[10.0, 10.0], [30.0, 20.0]])
+        out = draw_keypoints(img, kpts)
+        assert (out[10, 10] == [0, 255, 0]).all()
+        assert (out[20, 30] == [0, 255, 0]).all()
+        # score coloring: 0 -> red, 1 -> green
+        out2 = draw_keypoints(img, kpts, scores=np.array([0.0, 1.0]))
+        assert out2[10, 10, 0] > 200 and out2[10, 10, 1] == 0
+        assert out2[20, 30, 1] > 200 and out2[20, 30, 0] == 0
+
+    def test_matches_draw_on_both_sides(self):
+        kp0 = np.array([[5.0, 5.0], [20.0, 30.0]])
+        kp1 = np.array([[8.0, 6.0], [22.0, 28.0]])
+        out = draw_matches(
+            np.zeros((H, W, 3), np.uint8), np.zeros((H, W, 3), np.uint8),
+            kp0, kp1, correct=np.array([1.0, 0.0]),
+        )
+        off = W + 4
+        assert (out[5, 5] == [0, 255, 0]).all()  # correct -> green
+        assert (out[6, 8 + off] == [0, 255, 0]).all()
+        assert (out[30, 20] == [255, 0, 0]).all()  # wrong -> red
+
+    def test_lines_and_line_matches(self):
+        lines = np.array([[[5.0, 5.0], [40.0, 5.0]]])
+        out = draw_lines(np.zeros((H, W, 3), np.uint8), lines)
+        assert out[5, 20].sum() > 0  # midpoint of the segment is drawn
+        out2 = draw_line_matches(
+            np.zeros((H, W, 3), np.uint8), np.zeros((H, W, 3), np.uint8),
+            lines, lines, correct=np.array([1.0]),
+        )
+        off = W + 4
+        assert (out2[5, 20] == [0, 255, 0]).all()
+        assert (out2[5, 20 + off] == [0, 255, 0]).all()
+
+    def test_epipolar_lines_pass_near_correspondence(self):
+        # pure horizontal translation -> F = [e]_x maps points to the
+        # horizontal epipolar line through the same y
+        f = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]])
+        kp0 = np.array([[15.0, 25.0]])
+        out = draw_epipolar_lines(
+            np.zeros((H, W, 3), np.uint8), np.zeros((H, W, 3), np.uint8), f, kp0
+        )
+        off = W + 4
+        # the drawn line is y = 25 across image 1
+        row = out[25, off:]
+        assert (row.sum(-1) > 0).mean() > 0.9
+
+    def test_heatmap_overlay(self):
+        heat = np.zeros((H, W))
+        heat[10, 10] = 1.0
+        out = heatmap_overlay(np.zeros((H, W, 3), np.uint8), heat, alpha=1.0)
+        assert out[10, 10, 0] > 200  # hot -> red
+        assert out[0, 0].sum() == 0  # cold, zero-alpha -> untouched
+
+    def test_cumulative_plot_saves(self, tmp_path):
+        path = os.path.join(tmp_path, "cum.png")
+        fig = plot_cumulative_errors(
+            {"a": np.array([1.0, 2.0, 10.0]), "b": np.array([5.0])}, path=path
+        )
+        assert fig is not None and os.path.exists(path)
