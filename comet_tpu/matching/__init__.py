@@ -9,7 +9,17 @@ from .gt_generation import (
     gt_matches_from_pose,
     warp_homography,
 )
-from .eval import eval_matches_homography
+from .depth_gt import (
+    dense_warp_consistency,
+    essential_to_fundamental,
+    gt_line_matches_from_homography,
+    gt_matches_from_pose_depth,
+    pose_to_essential,
+    project_points_with_depth,
+    sample_depth,
+    sym_epipolar_distance_all,
+)
+from .eval import eval_matches_homography, matcher_metrics
 from .train import (
     build_matcher_train_step,
     build_superglue_train_step,
@@ -44,6 +54,23 @@ from .deeplsd import (
     DeepLSDDetector,
     deeplsd_field_loss,
     extract_lines_from_fields,
+)
+from .cache_loader import (
+    CacheLoader,
+    TripletPipeline,
+    pad_local_features,
+    pad_to_length,
+)
+from .viz import (
+    cm_RdGn,
+    draw_epipolar_lines,
+    draw_keypoints,
+    draw_line_matches,
+    draw_lines,
+    draw_matches,
+    heatmap_overlay,
+    plot_cumulative_errors,
+    side_by_side,
 )
 from .configs import EXPERIMENTS, build_pipeline, get_experiment, list_experiments
 from .augmentations import (

@@ -45,3 +45,41 @@ def eval_matches_homography(
         f"prec@{threshold:g}px": prec,
         "recall": recall,
     }
+
+
+def matcher_metrics(
+    matches0,  # [B, N] predicted (index into kpts1, -1 unmatched)
+    gt_matches0,  # [B, N] GT labels (index, -1 unmatched, -2 ignore)
+    matching_scores0,  # [B, N] predicted confidence
+    prefix: str = "",
+) -> Dict[str, jnp.ndarray]:
+    """Per-pair matcher training metrics — recall, precision, accuracy,
+    ranking AP (gluefactory/models/utils/metrics.py:5-50, exact
+    semantics incl. its collapsed AP = last-precision x recall-span)."""
+    m, gt, scores = matches0, gt_matches0, matching_scores0
+    eps = 1e-8
+    correct = (m == gt)
+
+    r_mask = (gt > -1).astype(jnp.float32)
+    recall = (correct * r_mask).sum(1) / (eps + r_mask.sum(1))
+
+    a_mask = (gt >= -1).astype(jnp.float32)
+    accuracy = (correct * a_mask).sum(1) / (eps + a_mask.sum(1))
+
+    p_mask = ((m > -1) & (gt >= -1)).astype(jnp.float32)
+    precision = (correct * p_mask).sum(1) / (eps + p_mask.sum(1))
+
+    order = jnp.argsort(-scores, axis=-1)
+    sp = jnp.take_along_axis(p_mask, order, -1)
+    sr = jnp.take_along_axis(r_mask, order, -1)
+    st = jnp.take_along_axis(correct, order, -1)
+    p_pts = jnp.cumsum(st * sp, -1) / (eps + jnp.cumsum(sp, -1))
+    r_pts = jnp.cumsum(st * sr, -1) / (eps + sr.sum(-1, keepdims=True))
+    ap = jnp.sum((r_pts[:, 1:] - r_pts[:, :-1]) * p_pts[:, -1:], -1)
+
+    return {
+        f"{prefix}match_recall": recall,
+        f"{prefix}match_precision": precision,
+        f"{prefix}accuracy": accuracy,
+        f"{prefix}average_precision": ap,
+    }
