@@ -462,6 +462,9 @@ def cmd_match(args):
     if args.pipeline:
         _match_pipeline(args)
         return
+    if args.export_features:
+        _match_export(args)
+        return
     pipeline = build_pipeline(args.experiment, image_hw=(size, size))
     pairs = make_synthetic_pairs(
         args.n_pairs, hw=(size, size), seed=args.seed
@@ -496,6 +499,54 @@ def _match_pipeline(args):
     print(json.dumps({"pipeline": args.pipeline, "exp_dir": exp_dir,
                       **{k: (round(v, 5) if isinstance(v, float) else v)
                          for k, v in summaries.items()}}))
+
+
+def _match_export(args):
+    """Export local features of every image under --export-features to an
+    h5 cache (gluefactory/scripts/export_local_features.py equivalent).
+    The cache is re-served as a model by matching.cache_loader.CacheLoader
+    (cache_loader.py parity)."""
+    import numpy as np
+    from PIL import Image
+
+    from .matching.configs import build_pipeline
+    from .matching.eval_pipeline import export_predictions
+
+    size = args.image_size
+    pipeline = build_pipeline(args.experiment, image_hw=(size, size))
+    exts = (".png", ".jpg", ".jpeg", ".bmp")
+    names = sorted(
+        f for f in os.listdir(args.export_features)
+        if f.lower().endswith(exts)
+    )
+    if not names:
+        raise SystemExit(f"no images found under {args.export_features}")
+
+    def loader():
+        for name in names:
+            img = Image.open(
+                os.path.join(args.export_features, name)
+            ).convert("L").resize((size, size), Image.BILINEAR)
+            yield {
+                "name": os.path.splitext(name)[0],
+                "image": np.asarray(img, np.float32) / 255.0,
+            }
+
+    out = os.path.join(
+        args.exp_dir or os.path.join("outputs", "match_features"),
+        "features.h5",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    export_predictions(
+        loader(),
+        lambda data: pipeline.extractor(data["image"]),
+        out,
+        keys=["keypoints", "descriptors"],
+        optional_keys=["keypoint_scores", "scores"],
+    )
+    print(json.dumps(
+        {"exported": len(names), "experiment": args.experiment, "path": out}
+    ))
 
 
 def _match_train(args):
@@ -595,6 +646,10 @@ def main(argv=None):
                     "homography pairs instead of benchmarking")
     pm.add_argument("--steps", type=int, default=100)
     pm.add_argument("--batch-size", type=int, default=None)
+    pm.add_argument("--export-features", default=None, metavar="DIR",
+                    help="export the experiment extractor's local features "
+                    "for every image under DIR to <exp-dir>/features.h5 "
+                    "(served back by matching.CacheLoader)")
     pm.set_defaults(fn=cmd_match)
     for name, fn in [("eval", cmd_eval), ("train", cmd_train), ("demo", cmd_demo), ("bench", cmd_bench)]:
         p = sub.add_parser(name)
