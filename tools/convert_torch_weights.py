@@ -437,6 +437,45 @@ def convert(state_dict: Dict, template_params, cfg, strict=True):
     return {"params": unflatten_params(new_flat)}, missing, unmapped
 
 
+SUPERPOINT_LAYERS = (
+    "conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
+    "conv4a", "conv4b", "convPa", "convPb", "convDa", "convDb",
+)
+
+
+def convert_superpoint(state_dict: Dict, template_params):
+    """MagicLeap superpoint_v1.pth / gluefactory_nonfree SuperPoint
+    state_dict -> comet_tpu.models.superpoint.SuperPointBackbone params.
+
+    Layer names match 1:1 (gluefactory_nonfree/superpoint.py:179-194);
+    conv kernels transpose OIHW -> HWIO. Keys may carry a "model." or
+    "module." prefix (torch hub / DDP checkpoints)."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = re.sub(r"^(module|model)\.", "", k)
+        sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    flat = flatten_params(template_params["params"])
+    new_flat = {}
+    for name in SUPERPOINT_LAYERS:
+        for leaf, tk, tf in (
+            (f"{name}/kernel", f"{name}.weight", t_conv),
+            (f"{name}/bias", f"{name}.bias", t_none),
+        ):
+            if leaf not in flat:
+                raise KeyError(f"template has no leaf {leaf}")
+            if tk not in sd:
+                raise KeyError(f"state_dict has no key {tk}")
+            arr = tf(sd[tk]).astype(np.asarray(flat[leaf]).dtype)
+            if arr.shape != flat[leaf].shape:
+                raise ValueError(
+                    f"shape mismatch for {leaf}: got {arr.shape}, "
+                    f"want {flat[leaf].shape}"
+                )
+            new_flat[leaf] = arr
+    return {"params": unflatten_params(new_flat)}
+
+
 def self_test(preset: str = "ours"):
     """Verify the mapping covers every flax leaf using a synthetic
     state_dict generated from the mapping itself."""
