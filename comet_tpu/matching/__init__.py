@@ -13,6 +13,7 @@ from .depth_gt import (
     dense_warp_consistency,
     essential_to_fundamental,
     gt_line_matches_from_homography,
+    gt_line_matches_from_pose_depth,
     gt_matches_from_pose_depth,
     pose_to_essential,
     project_points_with_depth,

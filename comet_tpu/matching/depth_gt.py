@@ -31,6 +31,7 @@ __all__ = [
     "essential_to_fundamental",
     "sym_epipolar_distance_all",
     "gt_line_matches_from_homography",
+    "gt_line_matches_from_pose_depth",
 ]
 
 
@@ -317,8 +318,107 @@ def dense_warp_consistency(
 
 
 # ---------------------------------------------------------------------------
-# line GT from homography (gt_generation.py:410+, jit-friendly redesign)
+# line GT (gt_generation.py:208-558, jit-friendly redesign)
 # ---------------------------------------------------------------------------
+
+
+def _sample_segments(lines: jax.Array, n_samples: int) -> jax.Array:
+    """[M, 2, 2] segments -> [M, S, 2] equally spaced sample points."""
+    ts = jnp.linspace(0.0, 1.0, n_samples)[:, None]
+    return lines[:, None, 0] * (1 - ts)[None] + lines[:, None, 1] * ts[None]
+
+
+def _segment_distances(samples, segs, sample_valid=None):
+    """Warped samples [M, S, 2] vs candidate segments [K, 2, 2].
+
+    Returns (mean perpendicular distance of inlier samples [M, K],
+    overlap fraction [M, K]). A sample counts toward a candidate when its
+    projection parameter falls inside the segment AND the sample itself is
+    valid (``sample_valid`` [M, S], e.g. depth-warp visibility)."""
+    a = segs[:, 0]  # [K, 2]
+    d = segs[:, 1] - segs[:, 0]  # [K, 2]
+    len2 = jnp.maximum(jnp.sum(d**2, -1), 1e-9)  # [K]
+    rel = samples[:, :, None] - a[None, None]  # [M, S, K, 2]
+    t = jnp.einsum("mskc,kc->msk", rel, d) / len2
+    inside = (t >= 0.0) & (t <= 1.0)
+    if sample_valid is not None:
+        inside = inside & sample_valid[:, :, None]
+    cross = rel[..., 0] * d[None, None, :, 1] - rel[..., 1] * d[None, None, :, 0]
+    perp = jnp.abs(cross) / jnp.sqrt(len2)[None, None]
+    overlap = jnp.mean(inside.astype(jnp.float32), axis=1)  # [M, K]
+    wsum = jnp.sum(jnp.where(inside, perp, 0.0), axis=1)
+    cnt = jnp.maximum(jnp.sum(inside, axis=1), 1)
+    return wsum / cnt, overlap
+
+
+def _mutual_line_assignment(d01, ov01, d10, ov10, dist_threshold,
+                            overlap_threshold, n0, n1):
+    """Symmetric cost + mutual-NN decision shared by both line-GT paths."""
+    dist = jnp.maximum(d01, d10.T)
+    overlap = jnp.minimum(ov01, ov10.T)
+    cost = jnp.where(
+        overlap > overlap_threshold, dist, jnp.asarray(jnp.inf, dist.dtype)
+    )
+    nn0 = jnp.argmin(cost, axis=1)
+    nn1 = jnp.argmin(cost, axis=0)
+    best0 = jnp.min(cost, axis=1)
+    best1 = jnp.min(cost, axis=0)
+    mutual0 = jnp.arange(n0) == nn1[nn0]
+    mutual1 = jnp.arange(n1) == nn0[nn1]
+    m0 = jnp.where(mutual0 & (best0 < dist_threshold), nn0, UNMATCHED)
+    m1 = jnp.where(mutual1 & (best1 < dist_threshold), nn1, UNMATCHED)
+    return {
+        "line_matches0": m0,
+        "line_matches1": m1,
+        "distances": dist,
+        "overlaps": overlap,
+    }
+
+
+def gt_line_matches_from_pose_depth(
+    lines0: jax.Array,  # [M0, 2, 2]
+    lines1: jax.Array,  # [M1, 2, 2]
+    depth0: jax.Array,
+    depth1: jax.Array,
+    k0: jax.Array,
+    k1: jax.Array,
+    r_0to1: jax.Array,
+    t_0to1: jax.Array,
+    n_samples: int = 8,
+    dist_threshold: float = 3.0,
+    overlap_threshold: float = 0.4,
+) -> Dict[str, jax.Array]:
+    """Line-segment GT under a relative pose with depth maps
+    (gt_generation.py:208-409 redesigned static-shape).
+
+    Samples points along each segment, lifts them by the sampled depth,
+    warps them into the other view, and scores segment pairs by the mean
+    perpendicular distance / overlap of the VISIBLE warped samples —
+    depth-invalid or occluded samples simply don't vote, so a partially
+    occluded line can still match through its visible span.
+    """
+    m0n, m1n = lines0.shape[0], lines1.shape[0]
+    size0 = (depth0.shape[1], depth0.shape[0])
+    size1 = (depth1.shape[1], depth1.shape[0])
+    r_1to0 = r_0to1.T
+    t_1to0 = -r_0to1.T @ t_0to1
+
+    def warp(lines, depth_i, depth_j, k_i, k_j, r, t, size_i, size_j):
+        pts = _sample_segments(lines, n_samples).reshape(-1, 2)
+        d, valid = sample_depth(pts, depth_i)
+        warped, vis = project_points_with_depth(
+            pts, d, k_i, k_j, r, t, valid, size_i=size_i, size_j=size_j
+        )
+        m = lines.shape[0]
+        return warped.reshape(m, n_samples, 2), vis.reshape(m, n_samples)
+
+    w0, v0 = warp(lines0, depth0, depth1, k0, k1, r_0to1, t_0to1, size0, size1)
+    w1, v1 = warp(lines1, depth1, depth0, k1, k0, r_1to0, t_1to0, size1, size0)
+    d01, ov01 = _segment_distances(w0, lines1, v0)
+    d10, ov10 = _segment_distances(w1, lines0, v1)
+    return _mutual_line_assignment(
+        d01, ov01, d10, ov10, dist_threshold, overlap_threshold, m0n, m1n
+    )
 
 
 def gt_line_matches_from_homography(
@@ -342,58 +442,17 @@ def gt_line_matches_from_homography(
     """
     from .gt_generation import warp_homography
 
-    ts = jnp.linspace(0.0, 1.0, n_samples)[:, None]  # [S, 1]
+    m0n, m1n = lines0.shape[0], lines1.shape[0]
+    pts0 = _sample_segments(lines0, n_samples).reshape(-1, 2)
+    pts0w = warp_homography(pts0, h).reshape(m0n, n_samples, 2)
+    pts1 = _sample_segments(lines1, n_samples).reshape(-1, 2)
+    pts1w = warp_homography(pts1, jnp.linalg.inv(h)).reshape(m1n, n_samples, 2)
 
-    def sample(lines):
-        # [M, S, 2]
-        return lines[:, None, 0] * (1 - ts)[None] + lines[:, None, 1] * ts[None]
-
-    pts0 = sample(lines0).reshape(-1, 2)
-    pts0w = warp_homography(pts0, h).reshape(lines0.shape[0], n_samples, 2)
-    pts1 = sample(lines1).reshape(-1, 2)
-    pts1w = warp_homography(pts1, jnp.linalg.inv(h)).reshape(
-        lines1.shape[0], n_samples, 2
+    d01, ov01 = _segment_distances(pts0w, lines1)  # image-1 frame
+    d10, ov10 = _segment_distances(pts1w, lines0)  # image-0 frame; [M1, M0]
+    return _mutual_line_assignment(
+        d01, ov01, d10, ov10, dist_threshold, overlap_threshold, m0n, m1n
     )
-
-    def seg_dist(samples, segs):
-        """samples [M, S, 2] vs segs [K, 2, 2] -> (mean inlier perp dist
-        [M, K], overlap fraction [M, K])."""
-        a = segs[:, 0]  # [K, 2]
-        d = segs[:, 1] - segs[:, 0]  # [K, 2]
-        len2 = jnp.maximum(jnp.sum(d**2, -1), 1e-9)  # [K]
-        rel = samples[:, :, None] - a[None, None]  # [M, S, K, 2]
-        t = jnp.einsum("mskc,kc->msk", rel, d) / len2  # projection parameter
-        inside = (t >= 0.0) & (t <= 1.0)
-        # perpendicular distance to the infinite line
-        cross = rel[..., 0] * d[None, None, :, 1] - rel[..., 1] * d[None, None, :, 0]
-        perp = jnp.abs(cross) / jnp.sqrt(len2)[None, None]
-        overlap = jnp.mean(inside.astype(jnp.float32), axis=1)  # [M, K]
-        wsum = jnp.sum(jnp.where(inside, perp, 0.0), axis=1)
-        cnt = jnp.maximum(jnp.sum(inside, axis=1), 1)
-        return wsum / cnt, overlap
-
-    d01, ov01 = seg_dist(pts0w, lines1)  # image-1 frame
-    d10, ov10 = seg_dist(pts1w, lines0)  # image-0 frame; [M1, M0]
-    dist = jnp.maximum(d01, d10.T)
-    overlap = jnp.minimum(ov01, ov10.T)
-    cost = jnp.where(
-        (overlap > overlap_threshold), dist, jnp.asarray(jnp.inf, dist.dtype)
-    )
-
-    nn0 = jnp.argmin(cost, axis=1)
-    nn1 = jnp.argmin(cost, axis=0)
-    best0 = jnp.min(cost, axis=1)
-    best1 = jnp.min(cost, axis=0)
-    mutual0 = jnp.arange(lines0.shape[0]) == nn1[nn0]
-    mutual1 = jnp.arange(lines1.shape[0]) == nn0[nn1]
-    m0 = jnp.where(mutual0 & (best0 < dist_threshold), nn0, UNMATCHED)
-    m1 = jnp.where(mutual1 & (best1 < dist_threshold), nn1, UNMATCHED)
-    return {
-        "line_matches0": m0,
-        "line_matches1": m1,
-        "distances": dist,
-        "overlaps": overlap,
-    }
 
 
 # ---------------------------------------------------------------------------

@@ -306,6 +306,77 @@ class TestLineGt:
         assert m1[0] == 0 and m1[1] == UNMATCHED
 
 
+class TestLineGtPoseDepth:
+    def _scene_lines(self, n=5, seed=9):
+        """Segments on the plane z=Z0: endpoints are projections of 3D
+        plane points, so the depth warp maps them exactly between views."""
+        rng = np.random.default_rng(seed)
+        k0, k1 = _k(), _k(f=65.0)
+        r, t = _pose()
+        a3 = np.concatenate(
+            [rng.uniform(-0.8, 0.5, (n, 2)), np.full((n, 1), Z0)], -1
+        )
+        b3 = a3 + np.concatenate(
+            [rng.uniform(0.9, 1.4, (n, 2)), np.zeros((n, 1))], -1
+        )
+
+        def project(p, k, rr=None, tt=None):
+            q = p if rr is None else p @ rr.T + tt
+            uv = (q / q[:, 2:]) @ k.T
+            return uv[:, :2]
+
+        lines0 = np.stack([project(a3, k0), project(b3, k0)], 1)
+        lines1 = np.stack(
+            [project(a3, k1, r, t), project(b3, k1, r, t)], 1
+        )
+        d0 = _plane_depth(k0, np.eye(3), np.zeros(3))
+        d1 = _plane_depth(k1, r, t)
+        inb = lambda L: ((L > 2) & (L < [W - 3, H - 3])).all((1, 2))
+        keep = inb(lines0) & inb(lines1)
+        return lines0[keep], lines1[keep], d0, d1, k0, k1, r, t
+
+    def test_identity_assignment(self):
+        from comet_tpu.matching.depth_gt import gt_line_matches_from_pose_depth
+
+        lines0, lines1, d0, d1, k0, k1, r, t = self._scene_lines()
+        assert len(lines0) >= 3
+        out = gt_line_matches_from_pose_depth(
+            jnp.asarray(lines0), jnp.asarray(lines1), jnp.asarray(d0),
+            jnp.asarray(d1), jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(r), jnp.asarray(t),
+        )
+        n = len(lines0)
+        np.testing.assert_array_equal(
+            np.asarray(out["line_matches0"]), np.arange(n)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["line_matches1"]), np.arange(n)
+        )
+
+    def test_unrelated_line_unmatched_and_occlusion_tolerated(self):
+        from comet_tpu.matching.depth_gt import gt_line_matches_from_pose_depth
+
+        lines0, lines1, d0, d1, k0, k1, r, t = self._scene_lines()
+        # an image-1 segment with no counterpart
+        extra = np.asarray([[[4.0, 4.0], [4.0, H - 5.0]]])
+        lines1x = np.concatenate([lines1, extra])
+        # occlude part of line 0's span in view 0's depth map
+        mid = lines0[0].mean(0)
+        ys, xs = np.mgrid[0:H, 0:W]
+        d0x = d0.copy()
+        d0x[(xs - mid[0]) ** 2 + (ys - mid[1]) ** 2 < 4] = 0.0
+        out = gt_line_matches_from_pose_depth(
+            jnp.asarray(lines0), jnp.asarray(lines1x), jnp.asarray(d0x),
+            jnp.asarray(d1), jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(r), jnp.asarray(t),
+        )
+        m0 = np.asarray(out["line_matches0"])
+        m1 = np.asarray(out["line_matches1"])
+        # partially occluded line still matches through its visible span
+        assert m0[0] == 0
+        assert m1[-1] == UNMATCHED
+
+
 class TestRegistryModels:
     def test_homography_matcher_model(self):
         from comet_tpu.matching.registry import get_model
