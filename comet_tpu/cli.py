@@ -282,6 +282,41 @@ def cmd_train(args):
                 max_sequences=args.max_sequences,
             )
             print("eval:", {k: round(v, 4) for k, v in eval_metrics.items() if not k.startswith("Auc_scene")})
+            _maybe_save_best(ckpt_dir, params, eval_metrics, epoch,
+                             key=args.best_key)
+
+
+def _maybe_save_best(ckpt_dir, params, eval_metrics, epoch, key="Auc_30"):
+    """Weights-only best checkpoint, tracked by an eval metric
+    (the reference's ckpt/best.bin, selected like gluefactory
+    train.py:547-556 via train.best_key). Higher is better for the
+    Auc_*/\\*acc keys; *_err/R_avg/T_avg keys are minimized. The running
+    best survives auto-resume via a JSON sidecar."""
+    import json as _json
+
+    from .utils.serialization import save_params_msgpack
+
+    if key not in eval_metrics:
+        print(f"warning: best-key {key!r} not in eval metrics; skipping best")
+        return
+    minimize = key.endswith("_err") or key in ("R_avg", "T_avg", "loss")
+    value = float(eval_metrics[key])
+    os.makedirs(ckpt_dir, exist_ok=True)
+    sidecar = os.path.join(ckpt_dir, "best.json")
+    prev = None
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            prev = _json.load(f)
+        if prev.get("key") != key:
+            prev = None  # metric changed: restart tracking
+    better = prev is None or (
+        value < prev["value"] if minimize else value > prev["value"]
+    )
+    if better:
+        save_params_msgpack(os.path.join(ckpt_dir, "best.msgpack"), params)
+        with open(sidecar, "w") as f:
+            _json.dump({"key": key, "value": value, "epoch": epoch}, f)
+        print(f"new best {key}={value:.5f} (epoch {epoch}) -> best.msgpack")
 
 
 def cmd_demo(args):
@@ -671,6 +706,12 @@ def main(argv=None):
                 "--global-batch", type=int, default=None,
                 help="global batch size across all devices/processes "
                 "(default: n_devices * process_count)",
+            )
+            p.add_argument(
+                "--best-key", default="Auc_30",
+                help="eval metric selecting ckpt/best.msgpack (the "
+                "reference's best.bin; *_err/R_avg/T_avg minimize, "
+                "everything else maximizes)",
             )
         p.set_defaults(fn=fn)
     args = parser.parse_args(argv)

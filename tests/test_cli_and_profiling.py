@@ -69,3 +69,59 @@ class TestProfilingHarness:
         from comet_tpu.utils.profiling import measure_host_rtt
 
         assert measure_host_rtt(reps=2) > 0.0
+
+
+class TestBestCheckpoint:
+    def _params(self):
+        return {"params": {"w": np.ones((2, 2), np.float32)}}
+
+    def test_tracks_maximizing_key(self, tmp_path):
+        import json
+        import os
+
+        from comet_tpu.cli import _maybe_save_best
+
+        ckpt = str(tmp_path / "ckpt")
+        _maybe_save_best(ckpt, self._params(), {"Auc_30": 0.4}, 0)
+        assert os.path.exists(os.path.join(ckpt, "best.msgpack"))
+        t0 = os.path.getmtime(os.path.join(ckpt, "best.msgpack"))
+        # worse metric: not overwritten
+        _maybe_save_best(ckpt, self._params(), {"Auc_30": 0.3}, 1)
+        with open(os.path.join(ckpt, "best.json")) as f:
+            assert json.load(f)["epoch"] == 0
+        # better metric: overwritten
+        _maybe_save_best(ckpt, self._params(), {"Auc_30": 0.5}, 2)
+        with open(os.path.join(ckpt, "best.json")) as f:
+            side = json.load(f)
+        assert side["epoch"] == 2 and side["value"] == 0.5
+        assert os.path.getmtime(os.path.join(ckpt, "best.msgpack")) >= t0
+
+    def test_minimizing_key_and_missing_key(self, tmp_path):
+        import json
+        import os
+
+        from comet_tpu.cli import _maybe_save_best
+
+        ckpt = str(tmp_path / "ckpt")
+        _maybe_save_best(ckpt, self._params(), {"R_avg": 9.0}, 0, key="R_avg")
+        _maybe_save_best(ckpt, self._params(), {"R_avg": 5.0}, 1, key="R_avg")
+        _maybe_save_best(ckpt, self._params(), {"R_avg": 7.0}, 2, key="R_avg")
+        with open(os.path.join(ckpt, "best.json")) as f:
+            assert json.load(f)["epoch"] == 1
+        # unknown key: warn, never write
+        _maybe_save_best(ckpt, self._params(), {"R_avg": 1.0}, 3, key="nope")
+        with open(os.path.join(ckpt, "best.json")) as f:
+            assert json.load(f)["epoch"] == 1
+
+    def test_roundtrips_through_loader(self, tmp_path):
+        import os
+
+        from comet_tpu.cli import _maybe_save_best
+        from comet_tpu.utils.serialization import load_params_msgpack
+
+        ckpt = str(tmp_path / "ckpt")
+        params = {"params": {"w": np.full((2, 2), 3.0, np.float32)}}
+        _maybe_save_best(ckpt, params, {"Auc_30": 1.0}, 0)
+        tmpl = {"params": {"w": np.zeros((2, 2), np.float32)}}
+        loaded = load_params_msgpack(os.path.join(ckpt, "best.msgpack"), tmpl)
+        np.testing.assert_array_equal(loaded["params"]["w"], 3.0)
