@@ -531,6 +531,10 @@ def _match_pipeline(args):
     )
     summaries, _ = pipe.run(exp_dir, overwrite=args.overwrite,
                             overwrite_eval=args.overwrite)
+    if args.inspect:
+        paths = pipe.inspect(exp_dir, k=args.inspect)
+        print(f"inspect: wrote {len(paths)} renders under "
+              f"{os.path.join(exp_dir, 'inspect')}")
     print(json.dumps({"pipeline": args.pipeline, "exp_dir": exp_dir,
                       **{k: (round(v, 5) if isinstance(v, float) else v)
                          for k, v in summaries.items()}}))
@@ -676,6 +680,10 @@ def main(argv=None):
                     "of the direct benchmark")
     pm.add_argument("--exp-dir", default=None)
     pm.add_argument("--overwrite", action="store_true")
+    pm.add_argument("--inspect", type=int, default=0, metavar="K",
+                    help="after a --pipeline run, render the K worst "
+                    "pairs from the prediction cache to "
+                    "<exp-dir>/inspect/*.png (eval/inspect.py's role)")
     pm.add_argument("--train", action="store_true",
                     help="train the experiment's matcher on generated "
                     "homography pairs instead of benchmarking")

@@ -242,6 +242,68 @@ class EvalPipeline:
             save_eval(exp_dir, s, r)
         return load_eval(exp_dir)
 
+    def inspect(self, exp_dir: str, k: int = 4, threshold: float = 3.0):
+        """Render the k worst pairs (by match precision) from the cached
+        predictions to PNGs under <exp_dir>/inspect/ — the headless core
+        of gluefactory/eval/inspect.py's interactive viewer. Pairs whose
+        loader item carries ``H_0to1`` get red/green match-correctness
+        coloring; others are colored by matching score. Returns the
+        written paths."""
+        from .gt_generation import warp_homography
+        from .viz import draw_matches
+
+        pred_file = os.path.join(exp_dir, "predictions.h5")
+        if not os.path.exists(pred_file):
+            raise FileNotFoundError(f"no prediction cache at {pred_file}")
+        rows = []
+        for data in self.get_dataloader():
+            if "image0" not in data or "image1" not in data:
+                continue
+            pred = load_predictions(pred_file, data["name"])
+            m0 = pred["matches0"]
+            valid = m0 >= 0
+            kp0 = pred["keypoints0"][valid]
+            kp1 = pred["keypoints1"][np.clip(m0[valid], 0,
+                                             len(pred["keypoints1"]) - 1)]
+            if "H_0to1" in data and kp0.shape[0] > 0:
+                import jax.numpy as jnp
+
+                proj = np.asarray(
+                    warp_homography(jnp.asarray(kp0, jnp.float32),
+                                    jnp.asarray(data["H_0to1"], jnp.float32))
+                )
+                correct = (
+                    np.linalg.norm(proj - kp1, axis=-1) < threshold
+                ).astype(np.float64)
+                precision = float(correct.mean()) if len(correct) else 0.0
+            elif "matching_scores0" in pred:
+                correct = np.asarray(pred["matching_scores0"])[valid]
+                precision = float(correct.mean()) if len(correct) else 0.0
+            else:
+                correct, precision = None, 0.0
+            rows.append((precision, data, kp0, kp1, correct))
+        rows.sort(key=lambda r: r[0])
+        out_dir = os.path.join(exp_dir, "inspect")
+        os.makedirs(out_dir, exist_ok=True)
+        written = []
+        for precision, data, kp0, kp1, correct in rows[:k]:
+            img = draw_matches(
+                data["image0"], data["image1"], kp0, kp1, correct=correct
+            )
+            path = os.path.join(
+                out_dir, f"{data['name']}_p{precision:.2f}.png"
+            )
+            try:
+                import cv2
+
+                cv2.imwrite(path, img[..., ::-1])
+            except Exception:
+                from PIL import Image
+
+                Image.fromarray(img).save(path)
+            written.append(path)
+        return written
+
 
 def _deep_merge(base: Dict, over: Dict) -> Dict:
     out = dict(base)

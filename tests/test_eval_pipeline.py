@@ -300,3 +300,28 @@ class TestNewExtractors:
 
 
 import jax.numpy as jnp  # noqa: E402  (used by TestNewExtractors)
+
+
+class TestInspect:
+    def test_renders_worst_pairs(self, tmp_path):
+        import os
+
+        p = HomographyEvalPipeline(
+            {"data": {"n_pairs": 4, "image_size": 64},
+             "eval": {"ransac_th": [3.0]}}
+        )
+        d = str(tmp_path / "exp")
+        p.run(d)
+        paths = p.inspect(d, k=2)
+        assert len(paths) == 2
+        for path in paths:
+            assert os.path.exists(path)
+            from PIL import Image
+
+            img = np.asarray(Image.open(path))
+            assert img.ndim == 3 and img.shape[1] > 64 * 2  # side-by-side
+
+    def test_missing_cache_raises(self, tmp_path):
+        p = HomographyEvalPipeline({"data": {"n_pairs": 2, "image_size": 64}})
+        with pytest.raises(FileNotFoundError):
+            p.inspect(str(tmp_path / "nope"))
