@@ -72,9 +72,7 @@ def _gt_quaternion_cameras(rng, s):
     return cams, q, t_uvz, t_xyz
 
 
-def test_camera_predictor_full_parity(monkeypatch, rng):
-    from models import camera_predictor10 as ref_mod
-
+def _run_camera_parity(ref_mod, preset, monkeypatch, rng):
     from comet_tpu.config import get_config
     from comet_tpu.geometry.cameras import make_camera_set
     from comet_tpu.models.camera_predictor import CameraPredictor
@@ -104,7 +102,7 @@ def test_camera_predictor_full_parity(monkeypatch, rng):
     want_gt_enc = out_ref["gt_pose_enc"].numpy()
 
     # --- JAX side ---
-    cfg = get_config("ours")
+    cfg = get_config(preset)
     cfg = cfg.replace(
         compute_dtype="float32",
         camera=dataclasses.replace(
@@ -114,6 +112,9 @@ def test_camera_predictor_full_parity(monkeypatch, rng):
     m = CameraPredictor(
         hidden_size=768, num_heads=8, att_depth=2, trunk_depth=2,
         down_size=down_size,
+        use_trajectory=cfg.camera.use_trajectory,
+        use_time=cfg.camera.use_time,
+        use_gapr=cfg.camera.use_gapr,
     )
     imgs_j = jnp.asarray(images.numpy().transpose(0, 2, 3, 1))[None]
     traj_j = jnp.asarray(traj.numpy())
@@ -150,3 +151,23 @@ def test_camera_predictor_full_parity(monkeypatch, rng):
     )
     got_gt_enc = np.asarray(encode_gt(cfg, cams_j))
     np.testing.assert_allclose(got_gt_enc, want_gt_enc, atol=1e-5, rtol=1e-5)
+
+
+def test_camera_predictor_full_parity(monkeypatch, rng):
+    from models import camera_predictor10 as ref_mod
+
+    _run_camera_parity(ref_mod, "ours", monkeypatch, rng)
+
+
+@pytest.mark.parametrize(
+    "variant", ["abl_track", "abl_time", "abl_uvz", "abl_all"]
+)
+def test_camera_predictor_ablation_parity(monkeypatch, rng, variant):
+    """Each ablation preset vs ITS OWN reference module
+    (comet/models/camera_predictor_abl_{track,time,uvz,all}.py) — the 4
+    flag combinations are separate 600+-line file clones in the
+    reference; here one flax module must reproduce each numerically."""
+    import importlib
+
+    ref_mod = importlib.import_module(f"models.camera_predictor_{variant}")
+    _run_camera_parity(ref_mod, variant, monkeypatch, rng)
