@@ -42,6 +42,8 @@ from .align import (
     corresponding_points_alignment,
     align_camera_extrinsics,
     rotation_average,
+    average_batch_rotations,
+    average_query_predictions,
     relative_to_first,
     farthest_point_sample,
     calculate_index_mappings,

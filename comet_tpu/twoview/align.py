@@ -93,6 +93,78 @@ def relative_to_first(q: jax.Array, t: jax.Array) -> Tuple[jax.Array, jax.Array]
     return q_rel, t_rel
 
 
+def average_batch_rotations(rmats: jax.Array) -> jax.Array:
+    """Average B independent predictions of N rotations
+    (comet/utils/utils.py:136-164 average_batch_rotation_matrices):
+    matrices -> quaternions, mean over the batch axis, renormalize, back
+    to matrices. Unlike the reference's raw scipy-quat mean, the batch
+    quats are first hemisphere-aligned to the first prediction — the
+    reference silently averages antipodal representations to ~zero when
+    sign conventions differ.
+
+    rmats: [B, N, 3, 3] -> [N, 3, 3]."""
+    from ..geometry.quaternions import matrix_to_quat
+
+    q = matrix_to_quat(rmats.reshape(-1, 3, 3)).reshape(
+        rmats.shape[0], rmats.shape[1], 4
+    )
+    sign = jnp.sign(
+        jnp.sum(q * q[0:1], axis=-1, keepdims=True) + 1e-12
+    )
+    mean = jnp.mean(q * sign, axis=0)
+    mean = mean / jnp.linalg.norm(mean, axis=-1, keepdims=True)
+    return quat_to_matrix(mean)
+
+
+def average_query_predictions(
+    predict_fn,
+    num_frames: int,
+    query_indices=None,
+    rng=None,
+    repeat_times: int = 5,
+):
+    """Multi-query camera-prediction averaging
+    (comet/utils/utils.py:25-127 average_camera_prediction): run the
+    predictor with several different frames placed first (the pose
+    encoding is relative to frame 0, so each query yields an independent
+    estimate), undo each reordering, re-express relative to the true
+    first frame, and average — rotations on SO(3), translations and
+    focals arithmetically. "Almost a free lunch" robustness at inference.
+
+    predict_fn(order [S] int32) -> (r [S, 3, 3], t [S, 3], focal [S, ...])
+    for frames *in that order* (the caller reorders its images and maps
+    the outputs back — see the test for the one-liner).
+    Returns (r_avg [S, 3, 3], t_avg, focal_avg, query_indices)."""
+    import numpy as np
+
+    if query_indices is None:
+        rng = rng or np.random.default_rng(0)
+        repeat_times = min(repeat_times, num_frames)
+        query_indices = list(
+            rng.choice(num_frames, size=repeat_times, replace=False)
+        )
+        if 0 not in query_indices:
+            query_indices.insert(0, 0)
+    rs, ts, fs = [], [], []
+    for qi in query_indices:
+        order = calculate_index_mappings(int(qi), num_frames)
+        r, t, focal = predict_fn(order)
+        # undo the reorder (the swap is an involution: order == inverse)
+        r, t, focal = switch_tensor_order([r, t, focal], order, axis=0)
+        # re-express relative to the TRUE first frame (utils.py:88-97:
+        # x_cam = R x + t composed with the inverse of camera 0)
+        r0, t0 = r[0], t[0]
+        r_rel = jnp.einsum("nij,kj->nik", r, r0)  # R_n R_0^T
+        t_rel = t - jnp.einsum("nij,j->ni", r_rel, t0)
+        rs.append(r_rel)
+        ts.append(t_rel)
+        fs.append(focal)
+    r_avg = average_batch_rotations(jnp.stack(rs))
+    t_avg = jnp.mean(jnp.stack(ts), axis=0)
+    f_avg = jnp.mean(jnp.stack(fs), axis=0)
+    return r_avg, t_avg, f_avg, list(map(int, query_indices))
+
+
 def farthest_point_sample(points: jax.Array, k: int) -> jax.Array:
     """Greedy farthest-point sampling of k indices
     (comet/utils/utils.py:204). Static-shape lax.scan."""
