@@ -106,6 +106,22 @@ def compute_sequence_square(bboxes, crop_size: int):
     return square, ratio
 
 
+def parse_pose_file(path: str, intr) -> tuple:
+    """4x4 w2c pose txt -> (R 3x3, T 3, quat wxyz, [u, v, Tz]) with the
+    intrinsics projection of T (kubric_movif_SFM_dataset_YT.py:198-217).
+    Shared by the PIL and native loader paths."""
+    pose = np.loadtxt(path)
+    if pose.shape != (4, 4):
+        raise ValueError(f"{path} is not a 4x4 pose matrix")
+    r_mat = pose[:3, :3]
+    t_vec = pose[:3, 3]
+    if abs(t_vec[2]) < 1e-6:
+        raise ZeroDivisionError(f"Tz ~ 0 in {path}")
+    u = (intr.fx * t_vec[0] + intr.cx * t_vec[2]) / t_vec[2]
+    v = (intr.fy * t_vec[1] + intr.cy * t_vec[2]) / t_vec[2]
+    return r_mat, t_vec, matrix_to_quat_wxyz(r_mat), [u, v, t_vec[2]]
+
+
 @dataclass
 class SequenceSample:
     """One loaded sequence — mirrors the reference dataset's dict output
@@ -180,14 +196,11 @@ class VideoPoseDataset:
     def __getitem__(self, index: int) -> SequenceSample:
         return self.load_sequence(self.seq_names[index])
 
-    def _load_common(self, seq_name: str, decode_frames: bool = True):
-        """Decode frames/masks/poses and compute the sequence square crop.
-
-        Shared head of the host (PIL LANCZOS), device (XLA matmul-resize)
-        and native (C++ cometio) preprocessing paths. With
-        ``decode_frames=False`` the frame images are NOT decoded (imgs
-        holds the on-disk paths instead) — the native loader decodes them
-        in its own thread pool (data/native_loader.py)."""
+    def _select_files(self, seq_name: str):
+        """Directory listing + temporal sampling — the shared head of the
+        host (PIL), device (XLA) and native (C++ cometio) preprocessing
+        paths; consumes the RNG identically in all three so runs are
+        interchangeable. Returns (frame, mask, gt) path lists + names."""
         frames_dir, gts_dir, masks_dir = self._frame_dirs(seq_name)
         fpre, gpre, mpre = self._frame_prefixes()
         image_names = sorted(f for f in os.listdir(frames_dir) if f.startswith(fpre))
@@ -199,34 +212,33 @@ class VideoPoseDataset:
             sel = sample_with_max_gap(total, self.seq_len, self.rng)
         else:
             sel = sample_evenly(total, self.seq_len)
+        return (
+            [os.path.join(frames_dir, image_names[i]) for i in sel],
+            [os.path.join(masks_dir, mask_names[i]) for i in sel],
+            [os.path.join(gts_dir, gt_names[i]) for i in sel],
+            [image_names[i] for i in sel],
+        )
+
+    def _load_common(self, seq_name: str):
+        """Decode frames/masks/poses and compute the sequence square crop
+        (the PIL path; the native loader shares _select_files /
+        parse_pose_file but decodes in its own thread pool)."""
+        frame_paths, mask_paths, gt_paths, names = self._select_files(seq_name)
 
         imgs, masks, bboxes = [], [], []
-        t_list, q_list, uvz_list, r_list, names = [], [], [], [], []
-        for ind in sel:
-            path = os.path.join(frames_dir, image_names[ind])
-            img = Image.open(path).convert("RGB") if decode_frames else path
-            mask = np.array(
-                Image.open(os.path.join(masks_dir, mask_names[ind])).convert("L"),
-                np.uint8,
-            )
-            pose = np.loadtxt(os.path.join(gts_dir, gt_names[ind]))
-            if pose.shape != (4, 4):
-                raise ValueError(f"{gt_names[ind]} is not a 4x4 pose matrix")
-            r_mat = pose[:3, :3]
-            t_vec = pose[:3, 3]
-            if abs(t_vec[2]) < 1e-6:
-                raise ZeroDivisionError(f"Tz ~ 0 in {gt_names[ind]}")
-            u = (self.intr.fx * t_vec[0] + self.intr.cx * t_vec[2]) / t_vec[2]
-            v = (self.intr.fy * t_vec[1] + self.intr.cy * t_vec[2]) / t_vec[2]
+        t_list, q_list, uvz_list, r_list = [], [], [], []
+        for fp, mp, gp in zip(frame_paths, mask_paths, gt_paths):
+            img = Image.open(fp).convert("RGB")
+            mask = np.array(Image.open(mp).convert("L"), np.uint8)
+            r_mat, t_vec, quat, uvz = parse_pose_file(gp, self.intr)
 
             imgs.append(img)
             masks.append(mask)
             bboxes.append(mask_bbox(mask))
             t_list.append(t_vec)
-            q_list.append(matrix_to_quat_wxyz(r_mat))
-            uvz_list.append([u, v, t_vec[2]])
+            q_list.append(quat)
+            uvz_list.append(uvz)
             r_list.append(r_mat)
-            names.append(image_names[ind])
 
         square, ratio = compute_sequence_square(bboxes, self.crop_size)
         return imgs, masks, t_list, q_list, uvz_list, r_list, names, square, ratio

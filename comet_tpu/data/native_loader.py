@@ -28,9 +28,7 @@ from .datasets import (
     SequenceSample,
     VideoPoseDataset,
     compute_sequence_square,
-    matrix_to_quat_wxyz,
-    sample_evenly,
-    sample_with_max_gap,
+    parse_pose_file,
 )
 from .. import native
 
@@ -54,55 +52,24 @@ class NativeLoaderDataset:
     def __getitem__(self, index: int) -> SequenceSample:
         return self.load_sequence(self.seq_names[index])
 
-    def _select_paths(self, seq_name: str):
-        """File listing + temporal sampling (datasets._load_common head,
-        same RNG consumption so PIL/native runs are interchangeable)."""
-        base = self.base
-        frames_dir, gts_dir, masks_dir = base._frame_dirs(seq_name)
-        fpre, gpre, mpre = base._frame_prefixes()
-        image_names = sorted(
-            f for f in os.listdir(frames_dir) if f.startswith(fpre)
-        )
-        gt_names = sorted(f for f in os.listdir(gts_dir) if f.startswith(gpre))
-        mask_names = sorted(
-            f for f in os.listdir(masks_dir) if f.startswith(mpre)
-        )
-        total = len(image_names)
-        if base.use_augs:
-            sel = sample_with_max_gap(total, base.seq_len, base.rng)
-        else:
-            sel = sample_evenly(total, base.seq_len)
-        frame_paths = [os.path.join(frames_dir, image_names[i]) for i in sel]
-        mask_paths = [os.path.join(masks_dir, mask_names[i]) for i in sel]
-        gt_paths = [os.path.join(gts_dir, gt_names[i]) for i in sel]
-        names = [image_names[i] for i in sel]
-        return frame_paths, mask_paths, gt_paths, names
-
     def load_sequence(self, seq_name: str) -> SequenceSample:
         base = self.base
-        frame_paths, mask_paths, gt_paths, names = self._select_paths(seq_name)
+        # shared listing/sampling head (same RNG consumption as the PIL
+        # path, so PIL/native runs are interchangeable)
+        frame_paths, mask_paths, gt_paths, names = base._select_files(seq_name)
 
         # threaded native mask decode: per-frame bboxes + mask 0 pixels
         bboxes, mask0 = native.load_masks(mask_paths, self.n_threads)
         square, ratio = compute_sequence_square(bboxes, self.crop_size)
 
-        # poses (host, tiny)
+        # poses (host, tiny; shared parser with the PIL path)
         t_list: List[np.ndarray] = []
         q_list, uvz_list, r_list = [], [], []
-        intr = base.intr
         for gp in gt_paths:
-            pose = np.loadtxt(gp)
-            if pose.shape != (4, 4):
-                raise ValueError(f"{gp} is not a 4x4 pose matrix")
-            r_mat = pose[:3, :3]
-            t_vec = pose[:3, 3]
-            if abs(t_vec[2]) < 1e-6:
-                raise ZeroDivisionError(f"Tz ~ 0 in {gp}")
-            u = (intr.fx * t_vec[0] + intr.cx * t_vec[2]) / t_vec[2]
-            v = (intr.fy * t_vec[1] + intr.cy * t_vec[2]) / t_vec[2]
+            r_mat, t_vec, quat, uvz = parse_pose_file(gp, base.intr)
             t_list.append(t_vec)
-            q_list.append(matrix_to_quat_wxyz(r_mat))
-            uvz_list.append([u, v, t_vec[2]])
+            q_list.append(quat)
+            uvz_list.append(uvz)
             r_list.append(r_mat)
 
         # threaded native decode + crop + LANCZOS + normalize

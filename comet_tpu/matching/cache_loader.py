@@ -57,15 +57,17 @@ def pad_to_length(
     elif mode == "ones":
         xn = np.ones(shape, x.dtype)
     elif mode == "random":
-        lo = float(x.min()) if low is None else low
-        hi = float(x.max()) if high is None else high
+        # empty input (e.g. zero detected keypoints): fall back to the
+        # caller's bounds, else [0, 1) — never x.min() of an empty array
+        lo = low if low is not None else (float(x.min()) if d > 0 else 0.0)
+        hi = high if high is not None else (float(x.max()) if d > 0 else 1.0)
         xn = rng.uniform(lo, hi, shape).astype(x.dtype)
     elif mode == "random_c":
         cols = []
         cshape = shape[:-1] + [1]
         for i in range(shape[-1]):
-            lo = float(x[..., i].min()) if d > 0 else low
-            hi = float(x[..., i].max()) if d > 0 else high
+            lo = float(x[..., i].min()) if d > 0 else (low or 0.0)
+            hi = float(x[..., i].max()) if d > 0 else (high or 1.0)
             cols.append(rng.uniform(lo, hi, cshape))
         xn = np.concatenate(cols, -1).astype(x.dtype)
     else:

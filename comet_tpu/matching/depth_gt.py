@@ -224,7 +224,10 @@ def gt_matches_from_pose_depth(
     every counterpart are UNMATCHED (-1); everything else IGNORE (-2).
     With ``epi_threshold``, depth-invalid keypoints that are epipolar-far
     from all ignores are promoted to UNMATCHED (the reference's extra
-    negative mining, gt_generation.py:85-91).
+    negative mining, gt_generation.py:85-91). NOTE: like the reference's
+    ``epi_th``, the parameter only ENABLES the mining — the epipolar
+    comparison itself uses ``neg_threshold`` (gt_generation.py:88-89),
+    so its numeric value is irrelevant beyond being non-None.
     """
     n0, n1 = kp0.shape[0], kp1.shape[0]
     d0, valid0 = sample_depth(kp0, depth0)

@@ -95,11 +95,13 @@ def draw_matches(
     n = len(kpts0)
     if correct is not None:
         colors = (cm_RdGn(np.asarray(correct, np.float64)) * 255).astype(np.uint8)
+    elif n == 0:
+        colors = np.zeros((0, 3), np.uint8)
     else:
         # distinct hues per match (the reference samples random hues)
         hsv = np.stack(
             [
-                np.linspace(0, 179, max(n, 1), endpoint=False),
+                np.linspace(0, 179, n, endpoint=False),
                 np.full(n, 200),
                 np.full(n, 255),
             ],
@@ -152,10 +154,12 @@ def draw_line_matches(
     m = len(lines0)
     if correct is not None:
         colors = (cm_RdGn(np.asarray(correct, np.float64)) * 255).astype(np.uint8)
+    elif m == 0:
+        colors = np.zeros((0, 3), np.uint8)
     else:
         hsv = np.stack(
             [
-                np.linspace(0, 179, max(m, 1), endpoint=False),
+                np.linspace(0, 179, m, endpoint=False),
                 np.full(m, 220),
                 np.full(m, 255),
             ],

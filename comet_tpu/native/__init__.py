@@ -32,10 +32,15 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def _build() -> Optional[str]:
-    """Compile cometio.cpp -> _cometio.so. Returns an error string or None."""
+    """Compile cometio.cpp -> _cometio.so. Returns an error string or None.
+
+    Compiles to a per-process temp name and publishes with os.replace so
+    concurrent first-users (multi-process data loading) never dlopen a
+    partially written .so — whichever build finishes last wins atomically."""
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-pthread", "-std=c++17",
-        _SRC, "-o", _SO, "-ljpeg", "-lpng", "-lz",
+        _SRC, "-o", tmp, "-ljpeg", "-lpng", "-lz",
     ]
     try:
         proc = subprocess.run(
@@ -44,7 +49,15 @@ def _build() -> Optional[str]:
     except (OSError, subprocess.TimeoutExpired) as exc:
         return f"g++ invocation failed: {exc!r}"
     if proc.returncode != 0:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return f"g++ failed ({proc.returncode}): {proc.stderr[-2000:]}"
+    try:
+        os.replace(tmp, _SO)
+    except OSError as exc:
+        return f"failed to publish {_SO}: {exc!r}"
     return None
 
 

@@ -14,7 +14,7 @@ Host-side numpy: this feeds visualization/export, not the jitted path.
 
 from __future__ import annotations
 
-import struct
+
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -66,20 +66,31 @@ def ransac_linear_fit(
     if n < 2:
         raise ValueError("need at least 2 points")
     rng = np.random.default_rng(seed)
-    # vectorized hypothesis sweep: all trials' 2-point fits at once
+    # vectorized hypothesis sweep, CHUNKED: the residual matrix is
+    # [chunk, n] — with max_trials=20000 and n~10^4 an unchunked sweep
+    # would allocate gigabytes; 512 trials at a time keeps it ~40 MB
+    # while producing identical results
     trials = min(max_trials, max(n * (n - 1), 1))
-    i = rng.integers(0, n, trials)
-    j = rng.integers(0, n - 1, trials)
-    j = np.where(j >= i, j + 1, j)  # j != i
-    dx = x[j] - x[i]
-    ok = np.abs(dx) > 1e-12
-    slope = np.where(ok, (y[j] - y[i]) / np.where(ok, dx, 1.0), 0.0)
-    inter = y[i] - slope * x[i]
-    resid = np.abs(y[None, :] - (slope[:, None] * x[None, :] + inter[:, None]))
-    inliers = (resid <= residual_threshold) & ok[:, None]
-    best = int(np.argmax(inliers.sum(1)))
-    mask = inliers[best]
-    if mask.sum() < 2:
+    best_count, mask = -1, None
+    for start in range(0, trials, 512):
+        chunk = min(512, trials - start)
+        i = rng.integers(0, n, chunk)
+        j = rng.integers(0, n - 1, chunk)
+        j = np.where(j >= i, j + 1, j)  # j != i
+        dx = x[j] - x[i]
+        ok = np.abs(dx) > 1e-12
+        slope = np.where(ok, (y[j] - y[i]) / np.where(ok, dx, 1.0), 0.0)
+        inter = y[i] - slope * x[i]
+        resid = np.abs(
+            y[None, :] - (slope[:, None] * x[None, :] + inter[:, None])
+        )
+        inliers = (resid <= residual_threshold) & ok[:, None]
+        counts = inliers.sum(1)
+        b = int(np.argmax(counts))
+        if counts[b] > best_count:
+            best_count = int(counts[b])
+            mask = inliers[b]
+    if mask is None or mask.sum() < 2:
         mask = np.ones(n, bool)
     # least-squares refit on the consensus set
     a = np.stack([x[mask], np.ones(mask.sum())], -1)
@@ -198,7 +209,7 @@ def write_colmap_array(array: np.ndarray, path: str) -> str:
     with open(path, "wb") as fid:
         fid.write(f"{width}&{height}&{channels}&".encode())
         data = trans.reshape(-1, order="F")
-        fid.write(struct.pack(f"<{data.size}f", *data.tolist()))
+        fid.write(data.astype("<f4", copy=False).tobytes())
     return path
 
 

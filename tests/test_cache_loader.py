@@ -112,3 +112,26 @@ class TestTripletPipeline:
         out = pipe(np.ones(1), np.ones(1) * 2)
         assert out["pair"] == (1.0, 2.0)
         assert "0to2" not in out
+
+
+class TestEmptyKeypoints:
+    def test_pad_empty_arrays(self):
+        # regression: extractors can return zero keypoints (textureless
+        # frame) — padding must not crash on empty min/max
+        out = pad_local_features(
+            {
+                "keypoints": np.zeros((0, 2)),
+                "keypoint_scores": np.zeros((0,)),
+                "descriptors": np.zeros((0, 8)),
+            },
+            16,
+        )
+        assert out["keypoints"].shape == (16, 2)
+        assert out["descriptors"].shape == (16, 8)
+        assert (out["keypoint_scores"] == 0).all()
+
+    def test_pad_empty_with_bounds(self):
+        out = pad_to_length(
+            np.zeros((0, 2)), 4, -2, "random_c", bounds=(5.0, 6.0)
+        )
+        assert ((out >= 5.0) & (out <= 6.0)).all()

@@ -104,3 +104,20 @@ class TestDrawing:
             {"a": np.array([1.0, 2.0, 10.0]), "b": np.array([5.0])}, path=path
         )
         assert fig is not None and os.path.exists(path)
+
+
+class TestZeroMatches:
+    def test_draw_matches_empty(self):
+        # regression: zero predicted matches must still render the canvas
+        out = draw_matches(
+            np.zeros((H, W, 3), np.uint8), np.zeros((H, W, 3), np.uint8),
+            np.zeros((0, 2)), np.zeros((0, 2)),
+        )
+        assert out.shape == (H, 2 * W + 4, 3)
+
+    def test_draw_line_matches_empty(self):
+        out = draw_line_matches(
+            np.zeros((H, W, 3), np.uint8), np.zeros((H, W, 3), np.uint8),
+            np.zeros((0, 2, 2)), np.zeros((0, 2, 2)),
+        )
+        assert out.shape == (H, 2 * W + 4, 3)
