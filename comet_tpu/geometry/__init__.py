@@ -29,6 +29,10 @@ from .codecs import (
     decode_relative_uvz,
     encode_relative_xyz,
     decode_relative_xyz,
+    encode_abst_quar_onefl,
+    decode_abst_quar_onefl,
+    create_intri_matrix,
+    get_efp,
 )
 from .fov_cameras import (
     FoVPerspectiveCameras,

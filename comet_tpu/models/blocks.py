@@ -86,6 +86,53 @@ class Mlp(nn.Module):
         return x
 
 
+class SimplePoseEmbedding(nn.Module):
+    """Learned pose-encoding embedding: fc -> GELU -> LN -> fc -> LN
+    (comet/models/utils.py:690-704 — the reference's replacement for the
+    HarmonicEmbedding-based PoseEmbedding; the harmonic variant lives at
+    geometry/embeddings.harmonic_embedding). output_dim defaults to the
+    reference's 768, hidden = output_dim // 2."""
+
+    output_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # torch nn.LayerNorm default eps (1e-5), not flax's 1e-6
+        x = nn.Dense(self.output_dim // 2, dtype=self.dtype, name="fc1")(x)
+        x = gelu(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+
+
+class PoseEmbedding(nn.Module):
+    """Pose-encoding -> token embedding (utils.py:706-721): dispatches to
+    the learned SimplePoseEmbedding (the reference's active code path) or
+    the NeRF-style harmonic encoding it replaced (kept for capability
+    parity with the commented-out HarmonicEmbedding variant)."""
+
+    target_dim: int = 768
+    n_harmonic_functions: int = 10
+    append_input: bool = True
+    learned: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pose_encoding):
+        if self.learned:
+            return SimplePoseEmbedding(
+                output_dim=self.target_dim, dtype=self.dtype, name="emb"
+            )(pose_encoding)
+        from ..geometry.embeddings import harmonic_embedding
+
+        return harmonic_embedding(
+            pose_encoding,
+            n_harmonic_functions=self.n_harmonic_functions,
+            append_input=self.append_input,
+        )
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head attention matching torch nn.MultiheadAttention semantics.
 
