@@ -58,6 +58,38 @@ class TestCodecFuzz:
             check(*decode_relative_xyz(encode_relative_xyz(cams), cams),
                   "xyz")
 
+    def test_abst_quar_onefl_roundtrip_random_cameras(self):
+        from comet_tpu.geometry.cameras import CameraSet
+        from comet_tpu.geometry.codecs import (
+            decode_abst_quar_onefl,
+            encode_abst_quar_onefl,
+        )
+
+        for seed in range(50):
+            rng = np.random.default_rng(100 + seed)
+            s = int(rng.integers(2, 17))
+            q = rng.normal(size=(s, 4)).astype(np.float32)
+            q /= np.linalg.norm(q, axis=-1, keepdims=True)
+            q *= np.sign(q[:, :1] + 1e-12)
+            t = rng.normal(size=(s, 3)).astype(np.float32) * 5.0
+            # focals straddling both clamp branches
+            focal = rng.uniform(0.01, 60.0, (s, 2)).astype(np.float32)
+            cams = CameraSet(
+                q=jnp.asarray(q), t_xyz=jnp.asarray(t),
+                t_uvz=jnp.asarray(t), focal=jnp.asarray(focal),
+                pp=jnp.full((s, 2), 0.0), ratio=jnp.asarray(1.0),
+            )
+            qa, ta, fl = decode_abst_quar_onefl(
+                encode_abst_quar_onefl(cams), cams
+            )
+            qa, ta, fl = np.asarray(qa), np.asarray(ta), np.asarray(fl)
+            sign = np.sign((qa * q).sum(-1, keepdims=True))
+            assert np.abs(qa - q * sign).max() < 2e-3, seed
+            assert np.abs(ta - t).max() < 2e-3, seed
+            np.testing.assert_allclose(
+                fl[:, 0], np.clip(focal[:, 0], 0.1, 30.0), atol=1e-5
+            )
+
 
 class TestCorrFuzz:
     def test_volume_pyramid_equals_feature_pyramid(self):
