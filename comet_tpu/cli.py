@@ -449,9 +449,32 @@ def cmd_demo(args):
             )
         except Exception as exc:  # pragma: no cover - cv2 codec dependent
             print(f"warning: reprojection video failed ({exc!r})")
+
+        # COLMAP text model (tensor_to_pycolmap.py:16 equivalent): the
+        # same cameras/points in the standard sparse-model format so
+        # COLMAP-ecosystem tools (gui, MVS, nerf pipelines) load the demo
+        # reconstruction directly
+        from .utils.colmap_io import batch_to_colmap, write_model_text
+
+        s = int(tracks.shape[0])
+        ext = np.concatenate([rs, np.asarray(t)[..., None]], axis=-1)
+        colmap_dir = base + "_colmap"
+        write_model_text(
+            batch_to_colmap(
+                pts3d,
+                ext,
+                np.broadcast_to(np.asarray(k_mat), (s, 3, 3)),
+                np.asarray(tracks),
+                np.asarray(mask) > 0.5,
+                (cfg.img_size, cfg.img_size),
+                shared_camera=True,
+                rgb=np.clip(cols * 255.0, 0, 255).astype(np.uint8),
+            ),
+            colmap_dir,
+        )
         print(
             f"saved {json_path} + {os.path.basename(glb_path)}"
-            f" (+.html, +_reproj.mp4)  R_avg={metrics['R_avg']:.3f}"
+            f" (+.html, +_reproj.mp4, +_colmap/)  R_avg={metrics['R_avg']:.3f}"
         )
 
 

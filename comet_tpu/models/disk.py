@@ -4,9 +4,13 @@ Architecture parity with the reference's DISK extractor
 (gluefactory/models/extractors/disk_kornia.py, which wraps
 kornia.feature.DISK): a thin U-Net (kernel-5 conv blocks, PReLU gates,
 instance norm, avg-pool down / nearest up, channel plan down
-[16,32,64,64,64] -> up [64,64,desc_dim+1]) producing a dense
+[16,32,64,64,64] -> up [64,64,64,desc_dim+1]) producing a dense
 ``desc_dim``-channel descriptor map plus a 1-channel keypoint heatmap at
-full resolution, followed by windowed-NMS keypoint selection
+FULL resolution — the reference crops the dense maps with ``[..., :h, :w]``
+at image size (disk_kornia.py:36-37) and uses the heatmap pixel argmaxes
+directly as image-space keypoints, so the up path must mirror all four
+downsamples (the original DISK U-Net asserts len(down) == len(up) + 1),
+followed by windowed-NMS keypoint selection
 (kornia heatmap_to_keypoints: window_size=5, score threshold, top-n).
 
 TPU notes: the whole network is plain channel-last convs (XLA fuses the
@@ -61,7 +65,7 @@ class DISKUnet(nn.Module):
     skip concatenation; returns the final up-path map [B, H, W, up[-1]]."""
 
     down: Sequence[int] = (16, 32, 64, 64, 64)
-    up: Sequence[int] = (64, 64, 129)
+    up: Sequence[int] = (64, 64, 64, 129)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -124,7 +128,7 @@ class DISK(nn.Module):
     def __call__(self, image: jax.Array) -> DISKOutput:
         """image: [B, H, W, 3] in [0, 1], H and W multiples of 16."""
         unet = DISKUnet(
-            up=(64, 64, self.desc_dim + 1), dtype=self.dtype, name="unet"
+            up=(64, 64, 64, self.desc_dim + 1), dtype=self.dtype, name="unet"
         )
         out = unet(image.astype(self.dtype))
         descs = out[..., : self.desc_dim]
