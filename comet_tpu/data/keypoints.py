@@ -214,3 +214,29 @@ def seed_query_points(
     else:
         raise ValueError(f"unknown keypoint backend: {backend}")
     return filter_and_pad(pts, mask, min_pts, track_num, rng)
+
+
+def generate_grid_samples(rect, n=None, pixel_interval=None) -> np.ndarray:
+    """Grid-sample points inside a rectangle (utils.py:782-827 parity).
+
+    rect: [4] (or [1, 4]) [topleft_x, topleft_y, bottomright_x,
+    bottomright_y]. Either ``n`` (approximate total count, split
+    aspect-ratio-aware: nx = int(sqrt(n * w/h)), ny = int(n / nx)) or
+    ``pixel_interval`` (nx = max(1, w // interval), same for ny).
+    Returns [nx * ny, 2] (x, y) float32, endpoints inclusive (linspace).
+    """
+    rect = np.asarray(rect, dtype=np.float64).reshape(-1)
+    x0, y0, x1, y1 = rect[:4]
+    width, height = x1 - x0, y1 - y0
+    if pixel_interval is not None:
+        nx = max(1, int(width // pixel_interval))
+        ny = max(1, int(height // pixel_interval))
+    else:
+        if n is None:
+            raise ValueError("pass n or pixel_interval")
+        nx = max(1, int(np.sqrt(n * (width / height))))
+        ny = max(1, int(n / nx))
+    xs = np.linspace(x0, x1, nx)
+    ys = np.linspace(y0, y1, ny)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)

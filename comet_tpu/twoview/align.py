@@ -272,3 +272,26 @@ def rank_by_feature_similarity(
         length=num_frames,
     )
     return picked
+
+
+def sample_subrange(n: int, idx: int, length: int):
+    """Clamp a window of ``length`` frames centered at ``idx`` into
+    [0, n) (utils.py:827-848 parity): shifts the window inward at the
+    sequence edges so it stays exactly ``length`` long whenever
+    n >= length. Returns (start, end) with end exclusive."""
+    start = idx - length // 2
+    end = start + length
+    if start < 0:
+        end -= start
+        start = 0
+    if end > n:
+        start -= end - n
+        end = n
+        if start < 0:
+            start = 0
+    if (end - start) < length:
+        if end < n:
+            end = min(n, start + length)
+        elif start > 0:
+            start = max(0, end - length)
+    return start, end

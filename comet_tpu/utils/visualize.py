@@ -293,3 +293,27 @@ def sparse_depth_from_scene(
         inside = front & (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
         out.append((uv[inside], depth[inside]))
     return out
+
+
+def save_query_points_image(
+    images: np.ndarray,
+    query_index: int,
+    query_points: np.ndarray,
+    save_name: str = "query_points.png",
+    radius: int = 4,
+) -> str:
+    """Draw the seeded query points on one frame and save it
+    (visual_query_points, comet/utils/utils.py:320-347: green filled
+    circles on the selected frame). images: [S, H, W, 3] float in [0, 1]
+    or [S, 3, H, W]; query_points: [N, 2] (x, y) pixels."""
+    import cv2
+
+    img = np.asarray(images[query_index])
+    if img.ndim == 3 and img.shape[0] == 3:  # CHW -> HWC
+        img = img.transpose(1, 2, 0)
+    img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    bgr = cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR)
+    for x, y in np.asarray(query_points).reshape(-1, 2):
+        bgr = cv2.circle(bgr, (int(x), int(y)), radius, (0, 255, 0), -1)
+    cv2.imwrite(save_name, bgr)
+    return save_name

@@ -179,3 +179,55 @@ class TestGlbSceneExport:
         export_glb_scene(path, pts)
         gltf, _ = parse_glb(path)
         assert len(gltf["meshes"]) == 1
+
+
+class TestSmallParityUtils:
+    """generate_grid_samples / sample_subrange / save_query_points_image
+    (comet/utils/utils.py:320,782,827 equivalents)."""
+
+    def test_grid_samples_by_count(self):
+        import numpy as np
+
+        from comet_tpu.data.keypoints import generate_grid_samples
+
+        pts = generate_grid_samples([10, 20, 110, 70], n=50)
+        # nx = int(sqrt(50 * 2)) = 10, ny = int(50/10) = 5
+        assert pts.shape == (50, 2)
+        assert pts[:, 0].min() == 10 and pts[:, 0].max() == 110
+        assert pts[:, 1].min() == 20 and pts[:, 1].max() == 70
+        # endpoints inclusive like torch.linspace
+        np.testing.assert_allclose(np.unique(pts[:, 1]), np.linspace(20, 70, 5))
+
+    def test_grid_samples_by_interval(self):
+        from comet_tpu.data.keypoints import generate_grid_samples
+
+        pts = generate_grid_samples([[0, 0, 64, 32]], pixel_interval=16)
+        assert pts.shape == (4 * 2, 2)
+
+    def test_sample_subrange_matches_reference_behavior(self):
+        from comet_tpu.twoview.align import sample_subrange
+
+        # interior: centered window
+        assert sample_subrange(100, 50, 8) == (46, 54)
+        # left edge: shifted right, still length 8
+        assert sample_subrange(100, 1, 8) == (0, 8)
+        # right edge: shifted left
+        assert sample_subrange(100, 99, 8) == (92, 100)
+        # shorter sequence than window: full range
+        assert sample_subrange(5, 2, 8) == (0, 5)
+
+    def test_query_points_image(self, tmp_path):
+        import numpy as np
+
+        cv2 = pytest.importorskip("cv2")
+        from comet_tpu.utils.visualize import save_query_points_image
+
+        imgs = np.zeros((2, 32, 40, 3), np.float32)
+        out = save_query_points_image(
+            imgs, 1, np.array([[5.0, 6.0], [20.0, 10.0]]),
+            str(tmp_path / "q.png"),
+        )
+        img = cv2.imread(out)
+        assert img is not None and img.shape == (32, 40, 3)
+        # green circle drawn (BGR)
+        assert img[6, 5, 1] == 255 and img[6, 5, 0] == 0
