@@ -85,6 +85,20 @@ def _build(args):
     return cfg
 
 
+def _finite_json(obj):
+    """json.dumps-safe copy: non-finite floats become None (json.dumps
+    would emit bare Infinity/NaN, which is not valid JSON)."""
+    import math
+
+    if isinstance(obj, dict):
+        return {k: _finite_json(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite_json(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
+
+
 def _maybe_device_preprocess(dataset, args):
     """Wrap a dataset in the requested preprocessing fast path (XLA
     device pipeline or the native C++ loader)."""
@@ -524,11 +538,17 @@ def cmd_match(args):
         _match_export(args)
         return
     pipeline = build_pipeline(args.experiment, image_hw=(size, size))
+    if args.load_experiment:
+        from .matching.experiments import load_experiment_into_pipeline
+
+        meta = load_experiment_into_pipeline(pipeline, args.load_experiment)
+        print(f"loaded checkpoint (step {meta.get('step')}, "
+              f"loss {meta.get('loss')})")
     pairs = make_synthetic_pairs(
         args.n_pairs, hw=(size, size), seed=args.seed
     )
     row = run_homography_benchmark(pipeline, pairs)
-    print(json.dumps({"experiment": args.experiment, **row}))
+    print(json.dumps(_finite_json({"experiment": args.experiment, **row})))
 
 
 def _match_pipeline(args):
@@ -558,9 +578,9 @@ def _match_pipeline(args):
         paths = pipe.inspect(exp_dir, k=args.inspect)
         print(f"inspect: wrote {len(paths)} renders under "
               f"{os.path.join(exp_dir, 'inspect')}")
-    print(json.dumps({"pipeline": args.pipeline, "exp_dir": exp_dir,
+    print(json.dumps(_finite_json({"pipeline": args.pipeline, "exp_dir": exp_dir,
                       **{k: (round(v, 5) if isinstance(v, float) else v)
-                         for k, v in summaries.items()}}))
+                         for k, v in summaries.items()}})))
 
 
 def _match_export(args):
@@ -658,6 +678,50 @@ def _match_train(args):
     )
     tx = optax.adam(float(tb["lr"]))
     opt_state = tx.init(params)
+
+    # experiment-dir checkpointing (gluefactory utils/experiments.py role)
+    from .matching.experiments import load_checkpoint, save_experiment
+
+    exp_dir = args.exp_dir or os.path.join(
+        "outputs", f"match_train_{args.experiment.replace('+', '_')}"
+    )
+    start_step = 0
+    if args.resume:
+        tree, meta = load_checkpoint(
+            exp_dir, template={"params": params, "opt": opt_state},
+            get_last=True,
+        )
+        params, opt_state = tree["params"], tree["opt"]
+        start_step = int(meta.get("step", 0))
+        print(f"resumed {exp_dir} at step {start_step}")
+    ckpt_every = args.ckpt_every or max(args.steps // 4, 1)
+    best = None
+
+    # optional held-out validation (gluefactory train.py:560-575 keeps the
+    # best checkpoint by conf.train.best_key over the VAL loop, not the
+    # train loss): benchmark the current weights on fresh synthetic pairs
+    # and key "best" on the homography error
+    val_pipeline = None
+    if args.val_pairs:
+        from .matching.benchmarks import (
+            make_synthetic_pairs,
+            run_homography_benchmark,
+        )
+        from .matching.configs import build_pipeline
+
+        val_pipeline = build_pipeline(args.experiment, image_hw=(size, size))
+        val_pairs = make_synthetic_pairs(
+            args.val_pairs, hw=(size, size), seed=args.seed + 10_000
+        )
+
+    def val_metric(p):
+        if val_pipeline is None:
+            return None
+        val_pipeline.matcher.holder["params"] = p
+        row = run_homography_benchmark(val_pipeline, val_pairs)
+        print(f"  val: H_err {row['H_error_ransac']:.3f} "
+              f"prec {row['prec@3px']:.3f}")
+        return float(row["H_error_ransac"])
     builder = (
         build_superglue_train_step
         if mat_name == "matcher_superglue"
@@ -681,10 +745,18 @@ def _match_train(args):
             first = last
         if i % max(args.steps // 10, 1) == 0:
             print(f"step {i}: loss {last:.4f}")
-    print(json.dumps({
+        if (i + 1) % ckpt_every == 0 or i == args.steps - 1:
+            ev = val_metric(params)
+            _, best = save_experiment(
+                exp_dir, start_step + i + 1, params, opt_state,
+                conf={"experiment": args.experiment}, loss=last,
+                eval_metric=last if ev is None else ev, best_eval=best,
+            )
+    print(json.dumps(_finite_json({
         "experiment": args.experiment, "steps": args.steps,
         "loss_first": round(first, 4), "loss_last": round(last, 4),
-    }))
+        "exp_dir": exp_dir, "best_eval": round(best, 4),
+    })))
 
 
 def main(argv=None):
@@ -712,6 +784,22 @@ def main(argv=None):
                     "homography pairs instead of benchmarking")
     pm.add_argument("--steps", type=int, default=100)
     pm.add_argument("--batch-size", type=int, default=None)
+    pm.add_argument("--resume", action="store_true",
+                    help="--train: continue from the last checkpoint in "
+                    "--exp-dir (gluefactory get_last_checkpoint role)")
+    pm.add_argument("--ckpt-every", type=int, default=None,
+                    help="--train: checkpoint interval in steps "
+                    "(default steps//4); best-by-loss copy kept as "
+                    "checkpoint_best.msgpack")
+    pm.add_argument("--val-pairs", type=int, default=0,
+                    help="--train: validate each checkpoint on this many "
+                    "held-out synthetic pairs and key the best checkpoint "
+                    "on val homography error instead of train loss "
+                    "(gluefactory best_key role)")
+    pm.add_argument("--load-experiment", default=None, metavar="DIR|FILE",
+                    help="benchmark: load a trained matcher checkpoint "
+                    "(best of an experiment dir, or an explicit file) "
+                    "before running (gluefactory load_experiment role)")
     pm.add_argument("--export-features", default=None, metavar="DIR",
                     help="export the experiment extractor's local features "
                     "for every image under DIR to <exp-dir>/features.h5 "

@@ -223,9 +223,7 @@ class TestDataParallel:
         mesh = make_mesh(n_data=8)
         x = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
 
-        from functools import partial
-
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         f = shard_map(
             lambda v: cross_replica_mean(v, "data"),
