@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Dict
 
 import jax.numpy as jnp
+import numpy as np
 
 from .gt_generation import gt_matches_from_homography, warp_homography
 
@@ -82,4 +83,58 @@ def matcher_metrics(
         f"{prefix}match_precision": precision,
         f"{prefix}accuracy": accuracy,
         f"{prefix}average_precision": ap,
+    }
+
+
+IGNORE_FEATURE = -2
+
+
+def get_tp_fp_pts(pred_matches, gt_matches, pred_scores):
+    """Per-pair TP/FP flags + scores for dataset-level PR aggregation
+    (gluefactory/eval/utils.py:227-244): entries whose GT label is
+    IGNORE_FEATURE (-2) are excluded; a predicted match is TP iff it
+    equals the GT assignment; num_pos counts GT positives."""
+    pred_matches = np.asarray(pred_matches)
+    gt_matches = np.asarray(gt_matches)
+    pred_scores = np.asarray(pred_scores)
+    keep = gt_matches != IGNORE_FEATURE
+    pred_matches, gt_matches, pred_scores = (
+        pred_matches[keep], gt_matches[keep], pred_scores[keep]
+    )
+    num_pos = int(np.sum(gt_matches != -1))
+    pos = pred_matches != -1
+    tp = pred_matches[pos] == gt_matches[pos]
+    fp = pred_matches[pos] != gt_matches[pos]
+    return tp, fp, pred_scores[pos], num_pos
+
+
+def average_precision(recall_curve, fp_curve):
+    """Interpolated VOC-style AP over cumulative recall/FP curves
+    (gluefactory/eval/utils.py:247-256 — note its 'tp' argument is
+    already the cumulative recall)."""
+    recall = np.concatenate(([0.0], recall_curve, [1.0]))
+    precision = recall_curve / np.maximum(recall_curve + fp_curve, 1e-9)
+    precision = np.concatenate(([0.0], precision, [0.0]))
+    for i in range(precision.size - 1, 0, -1):
+        precision[i - 1] = max(precision[i - 1], precision[i])
+    i = np.where(recall[1:] != recall[:-1])[0]
+    return float(np.sum((recall[i + 1] - recall[i]) * precision[i + 1]))
+
+
+def aggregate_pr_results(results, suffix=""):
+    """Dataset-level PR curves + AP from accumulated per-pair TP/FP lists
+    (gluefactory/eval/utils.py:259-272): rank all matches by score,
+    cumulate TP/FP over the ranking, normalize by total GT positives."""
+    tp_list = np.concatenate(results["tp" + suffix], axis=0)
+    fp_list = np.concatenate(results["fp" + suffix], axis=0)
+    scores = np.concatenate(results["scores" + suffix], axis=0)
+    n_gt = max(results["num_pos" + suffix], 1)
+
+    idx = np.argsort(scores)[::-1]
+    rec = np.cumsum(tp_list[idx]) / n_gt
+    fpc = np.cumsum(fp_list[idx]) / n_gt
+    return {
+        "curve_recall" + suffix: rec,
+        "curve_precision" + suffix: rec / np.maximum(rec + fpc, 1e-9),
+        "AP" + suffix: average_precision(rec, fpc) * 100,
     }
