@@ -194,10 +194,17 @@ def cmd_train(args):
     from .training.data_parallel import replicate_train_state
 
     cfg = _build(args)
+    train_over = {}
     if args.epochs is not None:
+        train_over["epochs"] = args.epochs
+    if args.ckpt_interval is not None:
+        train_over["ckpt_interval"] = args.ckpt_interval
+    if args.eval_interval is not None:
+        train_over["eval_interval"] = args.eval_interval
+    if train_over:
         import dataclasses
 
-        cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_over))
     # keep float32 master params for training
     model, params = _init_model(cfg, args.seed, args.checkpoint, inference=False)
 
@@ -831,6 +838,16 @@ def main(argv=None):
                 help="eval metric selecting ckpt/best.msgpack (the "
                 "reference's best.bin; *_err/R_avg/T_avg minimize, "
                 "everything else maximizes)",
+            )
+            p.add_argument(
+                "--ckpt-interval", type=int, default=None,
+                help="epochs between full-state checkpoints "
+                "(default: config train.ckpt_interval)",
+            )
+            p.add_argument(
+                "--eval-interval", type=int, default=None,
+                help="epochs between eval passes "
+                "(default: config train.eval_interval)",
             )
         p.set_defaults(fn=fn)
     args = parser.parse_args(argv)

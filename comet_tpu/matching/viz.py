@@ -274,3 +274,39 @@ def plot_cumulative_errors(
     if path is not None:
         fig.savefig(path, dpi=100)
     return fig
+
+
+def make_match_figures(pred: dict, data: dict, n_pairs: int = 2):
+    """Batch-level training-figure renderer (visualize_batch.py:7-58
+    parity, headless): for the first ``n_pairs`` of a training batch,
+    draw predicted matches color-coded by GT correctness (RdGn) with all
+    keypoints overlaid. Returns {"matching": [np.uint8 image per pair]}.
+
+    pred: keypoints0/1 [B, N, 2], matches0 [B, N], gt_matches0 [B, N];
+    data: image0/image1 [B, H, W, (3)] floats in [0, 1].
+    """
+    kp0 = np.asarray(pred["keypoints0"])
+    kp1 = np.asarray(pred["keypoints1"])
+    m0 = np.asarray(pred["matches0"])
+    gtm0 = np.asarray(pred["gt_matches0"])
+    img0 = np.asarray(data["image0"])
+    img1 = np.asarray(data["image1"])
+
+    figures = []
+    for i in range(min(n_pairs, kp0.shape[0])):
+        # the reference draws predicted matches whose GT label is not
+        # IGNORE (-2): valid = (m0 > -1) & (gtm0 >= -1)
+        valid = (m0[i] > -1) & (gtm0[i] >= -1)
+        kpm0 = kp0[i][valid]
+        kpm1 = kp1[i][m0[i][valid]]
+        correct = gtm0[i][valid] == m0[i][valid]
+        canvas = draw_matches(
+            img0[i], img1[i], kpm0, kpm1, correct=correct, ps=0, lw=1
+        )
+        # all keypoints in royal blue underneath (visualize_batch.py:52)
+        off = canvas.shape[1] - img1[i].shape[1]
+        canvas = draw_keypoints(canvas, kp0[i], color=(65, 105, 225))
+        kp1_off = np.asarray(kp1[i], np.float64) + np.asarray([off, 0.0])
+        canvas = draw_keypoints(canvas, kp1_off, color=(65, 105, 225))
+        figures.append(canvas)
+    return {"matching": figures}

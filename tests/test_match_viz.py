@@ -121,3 +121,47 @@ class TestZeroMatches:
             np.zeros((0, 2, 2)), np.zeros((0, 2, 2)),
         )
         assert out.shape == (H, 2 * W + 4, 3)
+
+
+class TestMakeMatchFigures:
+    """make_match_figures (visualize_batch.py:7-58 headless parity)."""
+
+    def test_renders_batch(self):
+        from comet_tpu.matching.viz import make_match_figures
+
+        rng = np.random.default_rng(0)
+        b, n, h, w = 3, 12, 32, 40
+        pred = {
+            "keypoints0": rng.uniform(0, w - 1, size=(b, n, 2)),
+            "keypoints1": rng.uniform(0, w - 1, size=(b, n, 2)),
+            "matches0": rng.integers(-1, n, size=(b, n)),
+            "gt_matches0": rng.integers(-2, n, size=(b, n)),
+        }
+        data = {
+            "image0": rng.uniform(size=(b, h, w, 3)).astype(np.float32),
+            "image1": rng.uniform(size=(b, h, w, 3)).astype(np.float32),
+        }
+        out = make_match_figures(pred, data, n_pairs=2)
+        assert list(out) == ["matching"]
+        assert len(out["matching"]) == 2
+        img = out["matching"][0]
+        assert img.dtype == np.uint8 and img.shape[0] == h
+        assert img.shape[1] >= 2 * w  # side-by-side
+
+    def test_ignores_gt_ignore_labels(self):
+        from comet_tpu.matching.viz import make_match_figures
+
+        # one valid match, one IGNORE(-2) — only the valid one drawn; the
+        # call must not crash on the -2 row
+        pred = {
+            "keypoints0": np.array([[[2.0, 2.0], [5.0, 5.0]]]),
+            "keypoints1": np.array([[[3.0, 2.0], [6.0, 5.0]]]),
+            "matches0": np.array([[0, 1]]),
+            "gt_matches0": np.array([[0, -2]]),
+        }
+        data = {
+            "image0": np.zeros((1, 16, 16, 3), np.float32),
+            "image1": np.zeros((1, 16, 16, 3), np.float32),
+        }
+        out = make_match_figures(pred, data, n_pairs=1)
+        assert len(out["matching"]) == 1
