@@ -80,3 +80,28 @@ from .augmentations import (
     photometric_augment,
     sample_homography_difficulty,
 )
+from .tools import (
+    AverageMetric,
+    FAverageMetric,
+    MedianMetric,
+    PRMetric,
+    QuantileMetric,
+    RecallMetric,
+    Timer,
+    fork_rng,
+    set_seed,
+)
+from .image import ImagePreprocessor, load_image, numpy_image_to_chw, read_image
+from .misc import (
+    batch_to_device,
+    batch_to_numpy,
+    get_twoview,
+    get_view,
+    index_batch,
+    map_tensor,
+    rbd,
+    stack_twoviews,
+    to_view,
+    unstack_twoviews,
+)
+from .inspect_frames import PLOT_REGISTRY, GlobalFrame, TwoViewFrame

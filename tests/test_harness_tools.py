@@ -1,0 +1,410 @@
+"""matching/tools.py, image.py, misc.py, inspect_frames.py.
+
+Reference semantics: gluefactory/utils/tools.py (metric accumulators),
+utils/image.py (ImagePreprocessor size conventions), utils/misc.py +
+utils/tensor.py (multi-view dict plumbing), visualization/two_view_frame.py
++ global_frame.py (plot registry / metric scatter).
+"""
+
+import numpy as np
+import pytest
+
+from comet_tpu.matching.tools import (
+    AverageMetric,
+    FAverageMetric,
+    MedianMetric,
+    PRMetric,
+    QuantileMetric,
+    RecallMetric,
+    Timer,
+    fork_rng,
+    get_class,
+)
+from comet_tpu.matching.image import (
+    ImagePreprocessor,
+    numpy_image_to_chw,
+)
+from comet_tpu.matching.misc import (
+    batch_to_numpy,
+    get_twoview,
+    get_view,
+    index_batch,
+    map_tensor,
+    rbd,
+    stack_twoviews,
+    to_view,
+    unstack_twoviews,
+)
+from comet_tpu.matching.inspect_frames import (
+    PLOT_REGISTRY,
+    GlobalFrame,
+    TwoViewFrame,
+)
+
+
+class TestAccumulators:
+    def test_average_skips_nan(self):
+        m = AverageMetric()
+        m.update(np.array([1.0, np.nan, 3.0]))
+        m.update(np.array([5.0]))
+        assert m.compute() == pytest.approx(3.0)
+
+    def test_average_empty_is_nan(self):
+        assert np.isnan(AverageMetric().compute())
+
+    def test_faverage_keeps_elements(self):
+        m = FAverageMetric()
+        m.update([1.0, np.nan])
+        assert m.compute() == pytest.approx(1.0)
+        assert len(m.elements) == 2
+
+    def test_median_quantile(self):
+        m = MedianMetric()
+        m.update([3.0, 1.0, 2.0, np.nan])
+        assert m.compute() == pytest.approx(2.0)
+        q = QuantileMetric(q=0.0)
+        q.update([3.0, 1.0, 2.0])
+        assert q.compute() == pytest.approx(1.0)
+
+    def test_recall_fraction_below(self):
+        # reference: s = (elements < th).sum() / len (tools.py:130-134)
+        m = RecallMetric([2.0, 10.0])
+        m.update([1.0, 3.0, 5.0, 1.5])
+        assert m.compute() == pytest.approx([0.5, 1.0])
+
+    def test_recall_scalar_threshold(self):
+        m = RecallMetric(2.0)
+        m.update([1.0, 3.0])
+        assert m.compute() == pytest.approx(0.5)
+
+    def test_pr_metric_mask_and_reset(self):
+        m = PRMetric()
+        m.update(np.array([1, 0, 1]), np.array([0.9, 0.1, 0.4]),
+                 mask=np.array([True, True, False]))
+        labels, preds = m.compute()
+        assert labels.tolist() == [1, 0]
+        assert preds.tolist() == pytest.approx([0.9, 0.1])
+        m.reset()
+        assert m.compute()[0].size == 0
+
+    def test_accepts_jax_arrays(self):
+        import jax.numpy as jnp
+
+        m = AverageMetric()
+        m.update(jnp.array([2.0, 4.0]))
+        assert m.compute() == pytest.approx(3.0)
+
+    @pytest.mark.slow
+    def test_parity_vs_reference_tools(self):
+        """Drive the actual reference accumulators on the same stream."""
+        import importlib.util
+        import torch
+
+        spec = importlib.util.spec_from_file_location(
+            "gf_tools", "/root/reference/gluefactory/utils/tools.py"
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        rng = np.random.RandomState(0)
+        chunks = [rng.randn(7), rng.randn(3), np.array([np.nan, 1.0])]
+        for ours_cls, ref_cls, kwargs in [
+            (AverageMetric, ref.AverageMetric, {}),
+            (MedianMetric, ref.MedianMetric, {}),
+            (QuantileMetric, ref.QuantileMetric, {"q": 0.25}),
+        ]:
+            ours, theirs = ours_cls(**kwargs), ref_cls(**kwargs)
+            for c in chunks:
+                ours.update(c)
+                theirs.update(torch.tensor(c))
+            assert ours.compute() == pytest.approx(theirs.compute(), nan_ok=True)
+        ours, theirs = RecallMetric([1.0, 5.0]), ref.RecallMetric([1.0, 5.0])
+        # the reference mutates its default `elements=[]` arg; fresh lists
+        theirs._elements = []
+        for c in chunks[:2]:
+            ours.update(np.abs(c))
+            theirs.update(torch.tensor(np.abs(c)))
+        assert ours.compute() == pytest.approx(theirs.compute())
+
+
+class TestTimerAndRng:
+    def test_timer_records_duration(self):
+        with Timer() as t:
+            sum(range(1000))
+        assert t.duration is not None and t.duration >= 0
+
+    def test_fork_rng_restores_state(self):
+        np.random.seed(123)
+        before = np.random.randn(3)
+        np.random.seed(123)
+        with fork_rng(seed=7):
+            inner = np.random.randn(5)
+        with fork_rng(seed=7):
+            inner2 = np.random.randn(5)
+        after = np.random.randn(3)
+        np.testing.assert_allclose(inner, inner2)
+        np.testing.assert_allclose(before, after)
+
+    def test_get_class(self):
+        from comet_tpu.matching.inspect_frames import PairPlot
+
+        cls = get_class("comet_tpu.matching.inspect_frames", GlobalFrame)
+        assert cls is GlobalFrame
+        with pytest.raises(ValueError):
+            get_class("comet_tpu.matching.inspect_frames", PairPlot)
+
+
+class TestImagePreprocessor:
+    def _sizes_match_reference(self, h, w, conf):
+        """Mirror image.py:77-102 arithmetic exactly."""
+        pre = ImagePreprocessor(conf)
+        return pre.get_new_image_size(h, w)
+
+    def test_side_long(self):
+        assert self._sizes_match_reference(
+            480, 640, {"resize": 320, "side": "long"}) == (240, 320)
+
+    def test_side_short(self):
+        assert self._sizes_match_reference(
+            480, 640, {"resize": 320, "side": "short"}) == (320, 426)
+
+    def test_side_vert_horz(self):
+        assert self._sizes_match_reference(
+            480, 640, {"resize": 300, "side": "vert"}) == (300, 400)
+        assert self._sizes_match_reference(
+            480, 640, {"resize": 300, "side": "horz"}) == (225, 300)
+
+    def test_edge_divisible(self):
+        h, w = self._sizes_match_reference(
+            480, 640, {"resize": 321, "side": "long",
+                       "edge_divisible_by": 8})
+        assert h % 8 == 0 and w % 8 == 0
+
+    def test_pair_resize_and_scales(self):
+        img = np.random.RandomState(0).rand(3, 48, 64).astype(np.float32)
+        out = ImagePreprocessor({"resize": (24, 32)})(img)
+        assert out["image"].shape == (3, 24, 32)
+        np.testing.assert_allclose(out["scales"], [0.5, 0.5])
+        np.testing.assert_allclose(
+            out["transform"], np.diag([0.5, 0.5, 1.0]))
+        assert out["original_image_size"].tolist() == [64, 48]
+
+    def test_square_pad_and_mask(self):
+        img = np.ones((1, 20, 30), np.float32)
+        out = ImagePreprocessor(
+            {"square_pad": True, "add_padding_mask": True})(img)
+        assert out["image"].shape == (1, 30, 30)
+        assert out["image"][0, 25, 5] == 0.0
+        assert out["padding_mask"].shape == (1, 30, 30)
+        assert out["padding_mask"][0, :20, :30].all()
+        assert not out["padding_mask"][0, 20:].any()
+
+    def test_numpy_image_to_chw(self):
+        hwc = (np.random.RandomState(1).rand(8, 9, 3) * 255).astype(np.uint8)
+        chw = numpy_image_to_chw(hwc)
+        assert chw.shape == (3, 8, 9)
+        assert chw.max() <= 1.0
+
+    @pytest.mark.slow
+    def test_size_arithmetic_vs_reference(self):
+        """Fuzz get_new_image_size against the reference class."""
+        import importlib
+        import importlib.util
+        import sys
+        import types
+
+        # image.py imports cv2/kornia/omegaconf at module level; stub only
+        # the ones this environment lacks (size arithmetic needs none of
+        # them) and restore sys.modules afterwards
+        stubbed = []
+        for name in ("cv2", "kornia", "kornia.geometry",
+                     "kornia.geometry.transform"):
+            try:
+                importlib.import_module(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+                stubbed.append(name)
+        if "omegaconf" not in sys.modules:
+            oc = types.ModuleType("omegaconf")
+
+            class _Conf(dict):
+                __getattr__ = dict.__getitem__
+
+            class OmegaConf:
+                @staticmethod
+                def create(d):
+                    return _Conf(d)
+
+                @staticmethod
+                def set_struct(cfg, flag):
+                    pass
+
+                @staticmethod
+                def merge(a, b):
+                    out = _Conf(a)
+                    out.update(b)
+                    return out
+
+            oc.OmegaConf = OmegaConf
+            sys.modules["omegaconf"] = oc
+            stubbed.append("omegaconf")
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "gf_image", "/root/reference/gluefactory/utils/image.py"
+            )
+            ref = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(ref)
+        finally:
+            for name in stubbed:
+                del sys.modules[name]
+
+        rng = np.random.RandomState(3)
+        for _ in range(50):
+            h = int(rng.randint(32, 1200))
+            w = int(rng.randint(32, 1200))
+            side = ["short", "long", "vert", "horz"][rng.randint(4)]
+            resize = int(rng.randint(64, 800))
+            div = [None, 8, 14][rng.randint(3)]
+            conf = {"resize": resize, "side": side, "edge_divisible_by": div}
+            ours = ImagePreprocessor(conf).get_new_image_size(h, w)
+            theirs = ref.ImagePreprocessor(conf).get_new_image_size(h, w)
+            assert tuple(ours) == tuple(theirs), (h, w, conf)
+
+
+class TestMiscViews:
+    def test_map_tensor_and_numpy(self):
+        import jax.numpy as jnp
+
+        nested = {"a": [jnp.zeros(2), None], "b": {"c": jnp.ones(3)}, "s": "x"}
+        out = batch_to_numpy(nested)
+        assert isinstance(out["a"][0], np.ndarray)
+        assert out["a"][1] is None and out["s"] == "x"
+        doubled = map_tensor({"v": np.array([2.0])}, lambda t: t * 2)
+        assert doubled["v"][0] == 4.0
+
+    def test_rbd_and_index_batch(self):
+        batch = {"x": np.arange(6).reshape(2, 3), "name": "pair"}
+        single = rbd(batch)
+        assert single["x"].shape == (3,) and single["name"] == "pair"
+        items = list(index_batch({"x": np.arange(4).reshape(2, 2)}))
+        assert len(items) == 2 and items[1]["x"].tolist() == [2, 3]
+
+    def test_view_suffixing_roundtrip(self):
+        data = {"keypoints": np.zeros((4, 2)), "image": np.zeros((1, 8, 8))}
+        v0 = to_view(data, 0)
+        assert set(v0) == {"keypoints0", "image0"}
+        back = get_view({**v0, "H": np.eye(3)}, 0)
+        assert set(back) == {"keypoints", "image", "H"}
+
+    def test_get_twoview_reindexes(self):
+        data = {
+            "keypoints1": np.zeros((4, 2)),
+            "keypoints2": np.ones((4, 2)),
+            "matches1to2": np.arange(4),
+            "H": np.eye(3),
+        }
+        out = get_twoview(data, "1to2")
+        assert set(out) == {"keypoints0", "keypoints1", "matches0to1"}
+        np.testing.assert_allclose(out["keypoints1"], 1.0)
+
+    def test_stack_unstack_roundtrip(self):
+        pairs = {
+            idx: {"kp": np.full((2, 3), i, np.float32)}
+            for i, idx in enumerate(["0to1", "0to2", "1to2"])
+        }
+        stacked = stack_twoviews(pairs)
+        assert stacked["kp"].shape == (6, 3)
+        restored = unstack_twoviews(stacked, 2)
+        for i, idx in enumerate(["0to1", "0to2", "1to2"]):
+            np.testing.assert_allclose(restored[idx]["kp"], float(i))
+
+
+def _fake_pair(seed=0, n=12):
+    rng = np.random.RandomState(seed)
+    data = {
+        "image0": rng.rand(32, 40, 3).astype(np.float32),
+        "image1": rng.rand(32, 40, 3).astype(np.float32),
+        "F_0to1": np.eye(3),
+    }
+    pred = {
+        "keypoints0": rng.rand(n, 2) * [40, 32],
+        "keypoints1": rng.rand(n, 2) * [40, 32],
+        "keypoint_scores0": rng.rand(n),
+        "keypoint_scores1": rng.rand(n),
+        "matches0": np.where(rng.rand(n) > 0.3, np.arange(n), -1),
+        "matching_scores0": rng.rand(n),
+        "gt_matches0": np.arange(n),
+        "heatmap0": rng.rand(16, 20),
+        "heatmap1": rng.rand(16, 20),
+        "lines0": rng.rand(5, 2, 2) * 30,
+        "lines1": rng.rand(5, 2, 2) * 30,
+        "line_matches0": np.array([0, 2, -1, 1, -1]),
+    }
+    return data, pred
+
+
+class TestInspectFrames:
+    def test_all_registry_plots_render(self):
+        data, pred = _fake_pair()
+        frame = TwoViewFrame(data, {"exp": pred})
+        assert set(frame.options) == set(PLOT_REGISTRY)
+        for plot in frame.options:
+            out = frame.draw(plot)["exp"]
+            assert out.dtype == np.uint8 and out.ndim == 3
+
+    def test_required_keys_filtering(self):
+        data, pred = _fake_pair()
+        minimal = {"keypoints0": pred["keypoints0"],
+                   "keypoints1": pred["keypoints1"]}
+        frame = TwoViewFrame({k: data[k] for k in ("image0", "image1")},
+                             {"exp": minimal})
+        assert "keypoints" in frame.options
+        assert "matches" not in frame.options
+        with pytest.raises(KeyError):
+            frame.draw("matches")
+
+    def test_cycle_and_save(self, tmp_path):
+        data, pred = _fake_pair()
+        frame = TwoViewFrame(data, {"a": pred, "b": pred}, default="matches")
+        first = frame.current
+        frame.cycle()
+        assert frame.current != first
+        paths = frame.save(str(tmp_path), plots=["matches", "keypoints"])
+        assert len(paths) == 4
+        import os
+
+        assert all(os.path.exists(p) for p in paths)
+
+    def test_global_frame_scatter_and_worst(self, tmp_path):
+        results = {
+            "expA": {"precision": [0.9, 0.2, 0.7], "num_matches": [50, 5, 30]},
+            "expB": {"precision": [0.8, 0.4, 0.6], "num_matches": [40, 9, 28]},
+        }
+        frame = GlobalFrame(results, x="num_matches", y="precision")
+        assert frame.worst_pairs("precision", k=2, largest=False) == [1, 2]
+        out = frame.save(str(tmp_path / "scatter.png"))
+        import os
+
+        assert os.path.exists(out)
+
+    def test_global_frame_diff_mode_and_opener(self):
+        results = {
+            "base": {"m1": [1.0, 2.0], "m2": [0.0, 1.0]},
+            "new": {"m1": [1.5, 1.0], "m2": [0.5, 0.5]},
+        }
+        opened = []
+
+        def opener(i):
+            opened.append(i)
+            return _fake_pair(seed=i)[0], {"new": _fake_pair(seed=i)[1]}
+
+        frame = GlobalFrame(results, x="m1", y="m2", diff=True,
+                            pair_opener=opener)
+        xs, ys = frame._xy("new")
+        np.testing.assert_allclose(xs, [0.5, -1.0])
+        child = frame.open_pair(1)
+        assert opened == [1] and isinstance(child, TwoViewFrame)
+
+    def test_global_frame_validates_metrics(self):
+        with pytest.raises(KeyError):
+            GlobalFrame({"e": {"a": [1], "b": [2]}}, x="nope")
