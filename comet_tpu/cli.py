@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import time
 
@@ -227,10 +228,22 @@ def cmd_train(args):
     n_devices = args.n_devices or jax.local_device_count()
     global_batch = args.global_batch or n_devices * jax.process_count()
     local_batch = max(global_batch // jax.process_count(), 1)
-    mesh = make_mesh(n_data=n_devices) if n_devices > 1 else None
     local_len = len(
         range(jax.process_index(), len(train_ds), jax.process_count())
     )
+    # Tiny datasets: batches are drop_last (static shapes), so a batch
+    # wider than the local shard would yield ZERO steps per epoch. Clamp
+    # the batch to the data, and the mesh to a width that divides the
+    # batch (the leading axis must shard evenly over the 'data' axis).
+    if 0 < local_len < local_batch:
+        local_batch = local_len
+        global_batch = local_batch * jax.process_count()
+        print(
+            f"note: dataset smaller than the requested batch — clamped to "
+            f"global batch {global_batch}"
+        )
+    n_devices = math.gcd(n_devices, local_batch)
+    mesh = make_mesh(n_data=n_devices) if n_devices > 1 else None
     steps_per_epoch = max(local_len // local_batch, 1)
     print(
         f"data-parallel: {n_devices} device(s) x {jax.process_count()} "
@@ -254,7 +267,16 @@ def cmd_train(args):
     if mesh is not None:
         params, opt_state = replicate_train_state(mesh, params, opt_state)
 
-    logger = CsvLogger(os.path.join(args.output_dir, "train_results.csv"))
+    # the training CSV adds loss columns ahead of the reference's metric
+    # tuple (the reference comments "loss" out of TO_PLOT_METRICS,
+    # train_util.py:97 — useless for a training log); eval CSVs keep the
+    # reference-parity fieldnames
+    from .training.stats import TO_PLOT_METRICS
+
+    logger = CsvLogger(
+        os.path.join(args.output_dir, "train_results.csv"),
+        fieldnames=("loss", "loss_rot", "loss_trans", *TO_PLOT_METRICS),
+    )
     monitor = TrainingMonitor(os.path.join(args.output_dir, "anomaly_checkpoints"))
     rng = np.random.default_rng(cfg.train.seed)
     global_step = start_epoch * steps_per_epoch
