@@ -558,7 +558,15 @@ def cmd_match(args):
         return
     size = args.image_size
     if args.train:
-        _match_train(args)
+        if args.exp_dir:
+            # tee training output to <exp-dir>/log.txt like gluefactory
+            # (train.py:627 `with capture_outputs(output_dir / "log.txt")`)
+            from .matching.capture import capture_outputs
+
+            with capture_outputs(os.path.join(args.exp_dir, "log.txt")):
+                _match_train(args)
+        else:
+            _match_train(args)
         return
     if args.pipeline:
         _match_pipeline(args)

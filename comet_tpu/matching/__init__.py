@@ -105,3 +105,11 @@ from .misc import (
     unstack_twoviews,
 )
 from .inspect_frames import PLOT_REGISTRY, GlobalFrame, TwoViewFrame
+from .backbones import make_dinov2_backbone
+from .patches import (
+    batch_extract_patches,
+    build_heatmap,
+    draw_image_patches,
+    extract_patches,
+)
+from .capture import apply_backspaces_and_linefeeds, capture_outputs

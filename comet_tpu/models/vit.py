@@ -89,8 +89,13 @@ class DinoViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> jax.Array:
-        """images: [B, H, W, 3], H == W == img_size, ImageNet-normalized."""
+    def __call__(self, images: jax.Array, return_cls: bool = False):
+        """images: [B, H, W, 3], H == W == img_size, ImageNet-normalized.
+
+        ``return_cls=True`` additionally returns the normalized cls token
+        [B, C] (DINOv2's ``x_norm_clstoken``, the global descriptor used by
+        gluefactory's DinoV2 backbone, models/backbones/dinov2.py:21-28).
+        """
         b = images.shape[0]
         grid = self.img_size // self.patch_size
         num_patches = grid * grid
@@ -141,4 +146,7 @@ class DinoViT(nn.Module):
 
         x = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         # drop cls + registers -> patch tokens only (x_norm_patchtokens)
-        return x[:, 1 + self.num_register_tokens :]
+        patches = x[:, 1 + self.num_register_tokens :]
+        if return_cls:
+            return patches, x[:, 0]
+        return patches
