@@ -12,8 +12,11 @@ bench.py.
 Usage: python tools/micro_batch.py [preset] [reps]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
