@@ -24,6 +24,12 @@ import math
 import sys
 import types
 
+from _stubs import ModuleOverlay
+
+# Every stub goes through this overlay so uninstall() can restore whatever
+# sys.modules held before (test-isolation fix, VERDICT round-2 weak #2).
+_OVERLAY = ModuleOverlay()
+
 # NOTE: models/ must come before comet/ so the reference's bare
 # `from utils import ...` resolves to comet/models/utils.py (the scripts
 # are documented to run from comet/models, README.md:49-66), not the
@@ -64,8 +70,8 @@ def install(monkeypatch=None):
 
         hutils.instantiate = instantiate
         hydra.utils = hutils
-        sys.modules["hydra"] = hydra
-        sys.modules["hydra.utils"] = hutils
+        _OVERLAY.set("hydra", hydra)
+        _OVERLAY.set("hydra.utils", hutils)
 
     # models/utils.py does `from train_eval_func import QuaternionCameras`,
     # and train_eval_func.py needs full pytorch3d + lightglue + tqdm. Load
@@ -100,7 +106,7 @@ def install(monkeypatch=None):
             "/root/reference/comet/models/train_eval_func_new_cp5.py",
             "train_eval_func_new_cp5",
         )
-        sys.modules["train_eval_func"] = mod
+        _OVERLAY.set("train_eval_func", mod)
 
     if "kornia" not in sys.modules:
         def create_meshgrid(
@@ -144,7 +150,7 @@ def install(monkeypatch=None):
             ("kornia.geometry.subpix", ksub),
             ("kornia.geometry.subpix.dsnt", kdsnt),
         ]:
-            sys.modules[name] = mod
+            _OVERLAY.set(name, mod)
 
 
 def install_harness():
@@ -173,9 +179,9 @@ def install_harness():
         tvf = types.ModuleType("torchvision.transforms.functional")
         tv.transforms = tvt
         tvt.functional = tvf
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tvt
-        sys.modules["torchvision.transforms.functional"] = tvf
+        _OVERLAY.set("torchvision", tv)
+        _OVERLAY.set("torchvision.transforms", tvt)
+        _OVERLAY.set("torchvision.transforms.functional", tvf)
 
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
@@ -194,7 +200,7 @@ def install_harness():
 
         oc.DictConfig = DictConfig
         oc.OmegaConf = OmegaConf
-        sys.modules["omegaconf"] = oc
+        _OVERLAY.set("omegaconf", oc)
 
     if "pytorch3d" not in sys.modules:
         p3d = types.ModuleType("pytorch3d")
@@ -215,10 +221,10 @@ def install_harness():
         p3dr.cameras = p3drc
         p3d.transforms = p3dt
         p3d.renderer = p3dr
-        sys.modules["pytorch3d"] = p3d
-        sys.modules["pytorch3d.transforms"] = p3dt
-        sys.modules["pytorch3d.renderer"] = p3dr
-        sys.modules["pytorch3d.renderer.cameras"] = p3drc
+        _OVERLAY.set("pytorch3d", p3d)
+        _OVERLAY.set("pytorch3d.transforms", p3dt)
+        _OVERLAY.set("pytorch3d.renderer", p3dr)
+        _OVERLAY.set("pytorch3d.renderer.cameras", p3drc)
 
     if "lightglue" not in sys.modules:
         lg = types.ModuleType("lightglue")
@@ -254,7 +260,7 @@ def install_harness():
 
         lg.SuperPoint = SuperPoint
         lg.SIFT = SIFT
-        sys.modules["lightglue"] = lg
+        _OVERLAY.set("lightglue", lg)
 
     if "train_util" not in sys.modules:
         src = open("/root/reference/comet/models/train_util.py").read()
@@ -280,11 +286,26 @@ def install_harness():
             torch.manual_seed(seed)
 
         mod.set_seed_and_print = set_seed_and_print
-        sys.modules["train_util"] = mod
+        _OVERLAY.set("train_util", mod)
+
+
+def uninstall():
+    """Reverse install()/install_harness(): restore the sys.modules entries
+    the stubs overwrote, drop every module imported from /root/reference,
+    and remove the REF_PATHS sys.path entries. After this the interpreter
+    looks exactly as if no parity test had run (test-isolation fix)."""
+    _OVERLAY.restore()
+    for name, mod in list(sys.modules.items()):
+        f = getattr(mod, "__file__", None) or ""
+        if isinstance(f, str) and f.startswith("/root/reference"):
+            del sys.modules[name]
+    for p in REF_PATHS:
+        while p in sys.path:
+            sys.path.remove(p)
 
 
 def build_torch_dinov2(img_size=336, depth=12, embed_dim=768, num_heads=12,
-                       num_registers=4, patch=14, seed=0):
+                       num_registers=4, patch=14, seed=0, pos_grid=None):
     """A torch ViT-B/14-with-registers whose state_dict uses the dinov2
     checkpoint naming (patch_embed.proj, blocks.N.attn.qkv, ls1.gamma,
     register_tokens, ...) and whose forward_features returns
@@ -293,12 +314,19 @@ def build_torch_dinov2(img_size=336, depth=12, embed_dim=768, num_heads=12,
     Built locally (no network); weights random. Faithful to the published
     DINOv2 architecture: pre-norm blocks, LayerScale on both branches,
     exact-GELU MLP, final LayerNorm, cls + register tokens.
+
+    ``pos_grid``: grid at which pos_embed is STORED. The real vitb14_reg
+    checkpoint stores 37x37 (518px pretraining) and interpolates to the
+    runtime grid in forward (interpolate_pos_encoding, bicubic
+    antialias=False) — pass pos_grid=37 to exercise exactly that layout;
+    the torch->flax converter resamples the same way offline.
     """
     import torch
     import torch.nn as nn
 
     torch.manual_seed(seed)
     grid = img_size // patch
+    store_grid = pos_grid or grid
 
     class Block(nn.Module):
         def __init__(self):
@@ -339,11 +367,10 @@ def build_torch_dinov2(img_size=336, depth=12, embed_dim=768, num_heads=12,
             self.register_tokens = nn.Parameter(
                 torch.zeros(1, num_registers, embed_dim)
             )
-            # stored at the model's native grid for this test (the real
-            # checkpoint stores 37x37 and the converter resamples; that
-            # path is exercised by the converter's own resample test)
+            # stored at store_grid (37x37 for the real-checkpoint layout;
+            # defaults to the runtime grid for the small parity tests)
             self.pos_embed = nn.Parameter(
-                0.02 * torch.randn(1, grid * grid + 1, embed_dim)
+                0.02 * torch.randn(1, store_grid * store_grid + 1, embed_dim)
             )
             self.blocks = nn.ModuleList([Block() for _ in range(depth)])
             self.norm = nn.LayerNorm(embed_dim, eps=1e-6)
@@ -352,10 +379,21 @@ def build_torch_dinov2(img_size=336, depth=12, embed_dim=768, num_heads=12,
                 self.register_tokens.normal_(0, 0.02)
 
         def forward_features(self, x):
+            import torch.nn.functional as F
+
             b = x.shape[0]
             x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
             x = torch.cat([self.cls_token.expand(b, -1, -1), x], dim=1)
-            x = x + self.pos_embed
+            pos = self.pos_embed
+            if store_grid != grid:
+                # dinov2 interpolate_pos_encoding: bicubic, antialias=False
+                t = pos[:, 1:].reshape(1, store_grid, store_grid, embed_dim)
+                t = t.permute(0, 3, 1, 2)
+                t = F.interpolate(t, (grid, grid), mode="bicubic",
+                                  antialias=False)
+                t = t.permute(0, 2, 3, 1).reshape(1, grid * grid, embed_dim)
+                pos = torch.cat([pos[:, :1], t], dim=1)
+            x = x + pos
             x = torch.cat(
                 [x[:, :1], self.register_tokens.expand(b, -1, -1), x[:, 1:]],
                 dim=1,
