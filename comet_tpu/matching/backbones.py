@@ -72,15 +72,22 @@ def make_dinov2_backbone(
             image = image.transpose(0, 2, 3, 1)
         if image.shape[-1] == 1:
             image = jnp.broadcast_to(image, image.shape[:-1] + (3,))
-        if image.shape[1] != size or image.shape[2] != size:
-            if not allow_resize:
-                raise ValueError(
-                    f"backbone_dinov2 configured for {size}x{size} inputs, "
-                    f"got {image.shape[1]}x{image.shape[2]}; set "
-                    "allow_resize=True to resize on device"
+        h, w = image.shape[1], image.shape[2]
+        if allow_resize:
+            # reference semantics (gluefactory models/backbones/dinov2.py:18):
+            # shrink each dim to the nearest lower multiple of the 14-px
+            # patch, preserving resolution and aspect ratio; the ViT
+            # resamples its position embedding for the resulting grid
+            nh, nw = max(h // 14, 1) * 14, max(w // 14, 1) * 14
+            if (nh, nw) != (h, w):
+                image = jax.image.resize(
+                    image, (image.shape[0], nh, nw, image.shape[3]), "bilinear"
                 )
-            image = jax.image.resize(
-                image, (image.shape[0], size, size, image.shape[3]), "bilinear"
+        elif h != size or w != size:
+            raise ValueError(
+                f"backbone_dinov2 configured for {size}x{size} inputs, "
+                f"got {h}x{w}; set allow_resize=True to run at the "
+                "nearest lower multiple-of-14 resolution"
             )
         if "params" not in state:
             params = model.init(
@@ -93,9 +100,9 @@ def make_dinov2_backbone(
             state["params"] = params
         tokens, cls = model.apply(state["params"], image, return_cls=True)
         b, p, c = tokens.shape
-        grid = size // 14
+        gh, gw = image.shape[1] // 14, image.shape[2] // 14
         return {
-            "features": tokens.reshape(b, grid, grid, c).transpose(0, 3, 1, 2),
+            "features": tokens.reshape(b, gh, gw, c).transpose(0, 3, 1, 2),
             "global_descriptor": cls,
             "descriptors": tokens,
         }

@@ -52,7 +52,14 @@ def apply_backspaces_and_linefeeds(text: str) -> str:
 
 
 class _Tee:
-    """Write-through stream: forwards to the original stream and a file."""
+    """Write-through stream: forwards to the original stream and a file.
+
+    Only the text-level API (write/writelines/flush) is teed; writes that
+    bypass it — ``sys.stdout.buffer.write`` or raw fd writes from
+    subprocesses/C extensions — fall through ``__getattr__`` to the
+    original stream and reach the terminal but not the log file (same
+    limitation as the reference's sys.stdout-swap tee).
+    """
 
     def __init__(self, stream, fh):
         self._stream = stream
@@ -62,6 +69,10 @@ class _Tee:
         self._stream.write(data)
         self._fh.write(data)
         return len(data)
+
+    def writelines(self, lines):
+        for line in lines:
+            self.write(line)
 
     def flush(self):
         self._stream.flush()

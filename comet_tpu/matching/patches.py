@@ -89,5 +89,8 @@ def build_heatmap(
     """
     hmap = np.zeros_like(np.asarray(img))
     draw_image_patches(hmap, np.asarray(patches), np.asarray(corners))
-    hmap = hmap.squeeze(1)
+    # torch's .squeeze(1) is a silent no-op for C>1; only drop a singleton
+    # channel so multi-channel images keep [B, C, H, W] like the reference
+    if hmap.ndim >= 2 and hmap.shape[1] == 1:
+        hmap = hmap.squeeze(1)
     return hmap, (hmap > 0.0).astype(np.float32)

@@ -90,7 +90,11 @@ class DinoViT(nn.Module):
 
     @nn.compact
     def __call__(self, images: jax.Array, return_cls: bool = False):
-        """images: [B, H, W, 3], H == W == img_size, ImageNet-normalized.
+        """images: [B, H, W, 3], ImageNet-normalized. H and W must be
+        multiples of ``patch_size``; when they differ from ``img_size`` the
+        position embedding is bicubically resampled to the actual grid (the
+        parity-tested path uses H == W == img_size, where no resampling
+        happens).
 
         ``return_cls=True`` additionally returns the normalized cls token
         [B, C] (DINOv2's ``x_norm_clstoken``, the global descriptor used by
@@ -99,6 +103,12 @@ class DinoViT(nn.Module):
         b = images.shape[0]
         grid = self.img_size // self.patch_size
         num_patches = grid * grid
+        # actual (possibly rectangular) patch grid of this input; DINOv2
+        # supports any multiple-of-14 size by interpolating its position
+        # embedding (dinov2 interpolate_pos_encoding; used by gluefactory's
+        # DinoV2 backbone at arbitrary aspect, models/backbones/dinov2.py:18)
+        gh = images.shape[1] // self.patch_size
+        gw = images.shape[2] // self.patch_size
 
         x = nn.Conv(
             self.embed_dim,
@@ -108,7 +118,7 @@ class DinoViT(nn.Module):
             dtype=self.dtype,
             name="patch_embed",
         )(images)
-        x = x.reshape(b, num_patches, self.embed_dim)
+        x = x.reshape(b, gh * gw, self.embed_dim)
 
         cls_token = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim)
@@ -118,6 +128,13 @@ class DinoViT(nn.Module):
             nn.initializers.normal(0.02),
             (1, num_patches + 1, self.embed_dim),
         ).astype(self.dtype)
+        if (gh, gw) != (grid, grid):
+            patch_pos = jax.image.resize(
+                pos_embed[0, 1:].reshape(grid, grid, self.embed_dim),
+                (gh, gw, self.embed_dim),
+                "cubic",
+            ).reshape(1, gh * gw, self.embed_dim)
+            pos_embed = jnp.concatenate([pos_embed[:, :1], patch_pos], axis=1)
 
         x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)), x], axis=1)
         x = x + pos_embed

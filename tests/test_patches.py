@@ -127,7 +127,9 @@ class TestDinoV2Backbone:
         )
         img = np.random.RandomState(1).rand(2, 3, 61, 49).astype(np.float32)
         out = bb(img)  # [B, C, H, W] reference layout, resized on device
-        assert out["features"].shape == (2, 32, 4, 4)
+        # reference dinov2.py:18 semantics: each dim shrinks to the nearest
+        # lower multiple of 14 (61x49 -> 56x42 -> 4x3 grid), aspect kept
+        assert out["features"].shape == (2, 32, 4, 3)
 
         strict = get_model(
             "backbone_dinov2", size=56, embed_dim=32, depth=1, num_heads=2

@@ -41,9 +41,10 @@ def measure(cfg, batch, reps=8, warmup=2):
 
     def run_many(params, key, n_reps):
         def body(acc, k):
-            imgs = jax.random.normal(k, images.shape, jnp.float32)
+            ki, kq = jax.random.split(k)
+            imgs = jax.random.normal(ki, images.shape, jnp.float32)
             qs = (
-                jax.random.uniform(k, queries.shape) * (cfg.img_size - 64) + 32
+                jax.random.uniform(kq, queries.shape) * (cfg.img_size - 64) + 32
             ).astype(jnp.float32)
             out = model.apply(params, imgs, qs)
             return acc + out["pred_pose_enc"].sum(), None
@@ -76,12 +77,20 @@ def main():
 
     preset = sys.argv[1] if len(sys.argv) > 1 else "ours"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # reference-throughput baseline for the ratio column; measured only for
+    # the "ours" preset (BASELINE.md) — omit the ratio for other presets
+    # unless one is passed explicitly as argv[3]
+    baseline = (
+        float(sys.argv[3]) if len(sys.argv) > 3
+        else (2.5956 if preset == "ours" else None)
+    )
     cfg = get_config(preset)
     for b in (1, 2, 4):
         try:
             sps = measure(cfg, b, reps=reps)
+            ratio = f" ({sps / baseline:.2f}x ref)" if baseline else ""
             print(
-                f"B={b}: {sps:.3f} seq/s ({sps / 2.5956:.2f}x ref), "
+                f"B={b}: {sps:.3f} seq/s{ratio}, "
                 f"{1000.0 * b / sps:.1f} ms/fwd",
                 flush=True,
             )
