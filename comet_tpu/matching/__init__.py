@@ -41,8 +41,8 @@ from .eval_pipeline import (
     exists_eval,
 )
 from .extractors import make_aliked
+from .gluestick import GlueStickMatcher, gluestick_nll_loss
 from .lines import (
-    GlueStickMatcher,
     LineSegments,
     detect_line_segments,
     match_lines_nn,

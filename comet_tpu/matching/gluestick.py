@@ -1,0 +1,444 @@
+"""Full GlueStick: the joint point+line assignment GNN (flax).
+
+Parity target: gluefactory/models/matchers/gluestick.py:1-776 — the
+complete architecture, not the earlier "-style" reduction:
+
+- line endpoints become junction TOKENS in the same set as the keypoints.
+  Tokens are ordered [2K endpoint tokens; N keypoint tokens], matching the
+  reference where junction tokens are the first ``2 * n_lines`` columns of
+  the descriptor matrix (gluestick.py:253-257 ``desc0[:, :, :2*n_lines0]``)
+  and ``lines_junc_idx`` maps each line endpoint to its (possibly shared)
+  junction token (:190-194).
+- ``KeypointEncoder``: MLP (3 -> layers -> D) on (x, y, score), added to the
+  projected descriptor (:486-495).
+- ``EndPtEncoder``: MLP (5 -> layers -> D) on (endpoint xy, vector to the
+  other endpoint, line score) -> one line encoding per endpoint (:498-516).
+- ``AttentionalGNN``: ``['self', 'cross'] * depth`` message passing; each
+  layer is an ``AttentionalPropagation`` (4-head attention message + MLP
+  ([2D, 2D, D]) merge on [x, message], residual) whose weights are SHARED
+  between the two images (:560-575), with a ``LineLayer`` after every self
+  layer (:688-758): per-endpoint message MLP([3D, 2D, D]) over (endpoint
+  desc, flipped-endpoint desc, line encoding), scatter-MEAN onto the shared
+  junction tokens (:583-607, 634-680).
+- assignment: ``log_double_softmax`` — dual log-softmax over the score
+  matrix augmented with a learned dustbin row/column, averaged (:762-774);
+  hard matches by mutual max + threshold (:545-560).
+- line assignment from the junction-descriptor score matrix gathered at
+  ``lines_junc_idx``, direct/reversed endpoint-pair max, its own
+  ``line_bin_score`` dustbin (:325-369).
+- loss: positive/negative-balanced NLL over the assignment (:371-409).
+
+TPU-native redesign (nothing is translated line-by-line):
+- static shapes + validity masks everywhere (padded point/line sets jit
+  cleanly; the reference special-cases n==0 with dynamic python branches);
+- scatter-mean becomes a one-hot contraction on the MXU instead of
+  ``scatter_reduce``;
+- the reference's BatchNorm1d inside the MLPs becomes LayerNorm: no
+  mutable batch statistics under jit, and no released GlueStick weights
+  are reachable offline, so checkpoint compatibility is not sacrificed;
+- per-endpoint line scores use the parent line's score
+  (``jnp.repeat(scores, 2)``); the reference tiles instead of interleaving
+  (``scores.repeat(1, 2)``, gluestick.py:514) which pairs endpoint ``j``
+  with the score of line ``j % K`` rather than ``j // 2`` — a quirk of the
+  original repo not worth reproducing without its weights.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .registry import register_model
+
+_NEG = -1e9
+
+
+class GSMLP(nn.Module):
+    """Conv1d-MLP of the reference (kernel 1 => Dense), LayerNorm + ReLU
+    between layers, none after the last (gluestick.py:461-471)."""
+
+    channels: Tuple[int, ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.channels)
+        for i, c in enumerate(self.channels):
+            x = nn.Dense(c, dtype=self.dtype, name=f"fc{i}")(x)
+            if i < n - 1:
+                x = nn.LayerNorm(dtype=self.dtype, name=f"norm{i}")(x)
+                x = nn.relu(x)
+        return x
+
+
+class KeypointEncoderGS(nn.Module):
+    """(x, y, score) -> D, added to the descriptor (gluestick.py:486-495)."""
+
+    dim: int
+    layers: Tuple[int, ...] = (32, 64, 128, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, kpts, scores):
+        x = jnp.concatenate([kpts, scores[:, None]], axis=-1)
+        return GSMLP(tuple(self.layers) + (self.dim,), dtype=self.dtype,
+                     name="encoder")(x)
+
+
+class EndPtEncoderGS(nn.Module):
+    """Per-endpoint line encoding: (endpoint, vector-to-other-endpoint,
+    parent line score) -> D (gluestick.py:498-516). Output [2K, D] in
+    (line0-end0, line0-end1, line1-end0, ...) order."""
+
+    dim: int
+    layers: Tuple[int, ...] = (32, 64, 128, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lines, scores):  # [K, 2, 2], [K]
+        k = lines.shape[0]
+        endpoints = lines.reshape(2 * k, 2)
+        off = lines[:, 1] - lines[:, 0]  # [K, 2]
+        # endpoint 0 -> +off (towards endpoint 1), endpoint 1 -> -off
+        offsets = jnp.stack([off, -off], axis=1).reshape(2 * k, 2)
+        s = jnp.repeat(scores, 2)
+        x = jnp.concatenate([endpoints, offsets, s[:, None]], axis=-1)
+        return GSMLP(tuple(self.layers) + (self.dim,), dtype=self.dtype,
+                     name="encoder")(x)
+
+
+class AttentionalPropagationGS(nn.Module):
+    """Attention message from ``source`` + MLP([2D, 2D, D]) merge on
+    [x, message] (gluestick.py:520-556). Caller adds the residual. ONE
+    instance serves both images (shared weights, :569-575)."""
+
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, source, mask=None):
+        d = x.shape[-1]
+        h = self.num_heads
+        hd = d // h
+        q = nn.Dense(d, dtype=self.dtype, name="q")(x).reshape(-1, h, hd)
+        k = nn.Dense(d, dtype=self.dtype, name="k")(source).reshape(-1, h, hd)
+        v = nn.Dense(d, dtype=self.dtype, name="v")(source).reshape(-1, h, hd)
+        logits = jnp.einsum(
+            "qhd,khd->hqk", q / jnp.sqrt(hd), k,
+            preferred_element_type=jnp.float32,
+        )
+        if mask is not None:
+            logits = jnp.where(mask[None, None, :], logits, -jnp.inf)
+        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        msg = jnp.einsum("hqk,khd->qhd", w, v).reshape(-1, d)
+        msg = nn.Dense(d, dtype=self.dtype, name="merge")(msg)
+        return GSMLP((2 * d, d), dtype=self.dtype, name="mlp")(
+            jnp.concatenate([x, msg], axis=-1)
+        )
+
+
+class LineLayerGS(nn.Module):
+    """Line message passing (gluestick.py:583-686, line_attention=False
+    branch): one message per line endpoint from (its descriptor, the other
+    endpoint's descriptor, the line encoding), averaged onto each shared
+    junction token. The scatter-mean is a one-hot [T, 2K] contraction."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, line_enc, junc_idx, lvalid):
+        # x [T, D] tokens; line_enc [2K, D]; junc_idx [2K] into [0, T);
+        # lvalid [2K] endpoint validity (parent line valid)
+        d = x.shape[-1]
+        t = x.shape[0]
+        k2 = junc_idx.shape[0]
+        line_desc = jnp.take(x, junc_idx, axis=0)  # [2K, D]
+        flipped = line_desc.reshape(-1, 2, d)[:, ::-1].reshape(k2, d)
+        msg = GSMLP((2 * d, d), dtype=self.dtype, name="mlp")(
+            jnp.concatenate([line_desc, flipped, line_enc], axis=-1)
+        )
+        onehot = (
+            (junc_idx[None, :] == jnp.arange(t)[:, None]) & lvalid[None, :]
+        ).astype(jnp.float32)  # [T, 2K]
+        total = jnp.einsum(
+            "te,ed->td", onehot, msg.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        count = onehot.sum(axis=1, keepdims=True)
+        update = (total / jnp.maximum(count, 1.0)).astype(x.dtype)
+        return x + update
+
+
+def log_double_softmax(
+    scores: jax.Array,  # [M, N] f32
+    bin_score: jax.Array,  # scalar
+    valid0: jax.Array,  # [M]
+    valid1: jax.Array,  # [N]
+) -> jax.Array:
+    """Dual log-softmax with a learned dustbin (gluestick.py:762-774):
+    rows softmax over [N real + dustbin], columns over [M real + dustbin],
+    the real block averaged. Returns [M+1, N+1]; the [M, N] corner is 0."""
+    m, n = scores.shape
+    s = jnp.where(valid0[:, None] & valid1[None, :], scores, _NEG)
+    b = bin_score.astype(jnp.float32)
+    s0 = jnp.concatenate(
+        [s, jnp.where(valid0, b, _NEG)[:, None]], axis=1
+    )  # [M, N+1]
+    s1 = jnp.concatenate(
+        [s, jnp.where(valid1, b, _NEG)[None, :]], axis=0
+    )  # [M+1, N]
+    ls0 = jax.nn.log_softmax(s0, axis=1)
+    ls1 = jax.nn.log_softmax(s1, axis=0)
+    out = jnp.zeros((m + 1, n + 1), jnp.float32)
+    out = out.at[:m, :n].set((ls0[:, :n] + ls1[:m]) / 2.0)
+    out = out.at[:m, n].set(ls0[:, n])
+    out = out.at[m, :n].set(ls1[m])
+    return out
+
+
+def get_matches(
+    log_assignment: jax.Array,  # [M+1, N+1]
+    valid0: jax.Array,
+    valid1: jax.Array,
+    threshold: float,
+):
+    """Mutual-max filtering in probability space (gluestick.py:545-560)."""
+    m, n = log_assignment.shape[0] - 1, log_assignment.shape[1] - 1
+    block = log_assignment[:m, :n]
+    m0 = jnp.argmax(block, axis=1)
+    m1 = jnp.argmax(block, axis=0)
+    max0 = jnp.take_along_axis(block, m0[:, None], axis=1)[:, 0]
+    mutual0 = jnp.arange(m) == m1[m0]
+    mutual1 = jnp.arange(n) == m0[m1]
+    mscores0 = jnp.where(mutual0, jnp.exp(max0), 0.0)
+    mscores1 = jnp.where(mutual1, mscores0[m1], 0.0)
+    ok0 = mutual0 & (mscores0 > threshold) & valid0 & valid1[m0]
+    ok1 = mutual1 & ok0[m1] & valid1
+    return (
+        jnp.where(ok0, m0, -1),
+        jnp.where(ok1, m1, -1),
+        mscores0,
+        mscores1,
+    )
+
+
+class GlueStickMatcher(nn.Module):
+    """The joint point+line GNN matcher (gluestick.py:18-419).
+
+    Call contract (static shapes; pad + mask):
+      kpts [N, 2] normalized positions, desc [N, Dp], lines [K, 2, 2]
+      normalized endpoints, ldesc [K, S, Dl] line-point descriptors
+      (samples 0 and S-1 are the endpoints — used as the endpoint-token
+      descriptors unless ``jdesc`` is given). Optional detector scores,
+      line scores, and ``junc_idx [K, 2]`` mapping endpoints onto shared
+      junction token slots (default: every endpoint its own token).
+
+    Returns the unified outputs of the reference ``_forward`` plus
+    ``scores0``/``line_scores0``/``assignment``/``line_assignment``
+    aliases kept for this repo's earlier pipelines.
+    """
+
+    depth: int = 9  # number of (self, cross) pairs: GNN_layers ['self','cross']*9
+    dim: int = 256
+    num_heads: int = 4
+    encoder_layers: Tuple[int, ...] = (32, 64, 128, 256)
+    num_line_iterations: int = 1
+    filter_threshold: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        kpts0, desc0, kpts1, desc1,
+        lines0, ldesc0, lines1, ldesc1,
+        valid0=None, valid1=None, lvalid0=None, lvalid1=None,
+        scores0=None, scores1=None,
+        line_scores0=None, line_scores1=None,
+        junc_idx0=None, junc_idx1=None,
+        jdesc0=None, jdesc1=None,
+    ) -> Dict[str, jax.Array]:
+        n0, n1 = kpts0.shape[0], kpts1.shape[0]
+        k0, k1 = lines0.shape[0], lines1.shape[0]
+
+        def defaults(n, k, v, lv, s, ls, ji):
+            v = jnp.ones(n, bool) if v is None else v
+            lv = jnp.ones(k, bool) if lv is None else lv
+            s = jnp.ones(n, jnp.float32) if s is None else s
+            ls = jnp.ones(k, jnp.float32) if ls is None else ls
+            ji = (
+                jnp.arange(2 * k).reshape(k, 2) if ji is None
+                else ji.astype(jnp.int32)
+            )
+            return v, lv, s, ls, ji
+
+        v0, lv0, s0, ls0, ji0 = defaults(
+            n0, k0, valid0, lvalid0, scores0, line_scores0, junc_idx0
+        )
+        v1, lv1, s1, ls1, ji1 = defaults(
+            n1, k1, valid1, lvalid1, scores1, line_scores1, junc_idx1
+        )
+
+        point_proj = nn.Dense(self.dim, dtype=self.dtype, name="input_proj")
+        ep_proj = nn.Dense(self.dim, dtype=self.dtype, name="endpoint_proj")
+        kenc = KeypointEncoderGS(
+            self.dim, self.encoder_layers, dtype=self.dtype, name="kenc"
+        )
+        lenc = EndPtEncoderGS(
+            self.dim, self.encoder_layers, dtype=self.dtype, name="lenc"
+        )
+
+        def tokens(kpts, desc, lines, ldesc, jdesc, s, ls):
+            # endpoint descriptors: first/last line-point samples
+            if jdesc is None:
+                jdesc = jnp.stack(
+                    [ldesc[:, 0], ldesc[:, -1]], axis=1
+                ).reshape(2 * lines.shape[0], -1)
+            jpos = lines.reshape(-1, 2)
+            jscore = jnp.repeat(ls, 2)
+            xj = ep_proj(jdesc) + kenc(jpos, jscore)
+            xp = point_proj(desc) + kenc(kpts, s)
+            return jnp.concatenate([xj, xp], axis=0)  # junctions FIRST
+
+        x0 = tokens(kpts0, desc0, lines0, ldesc0, jdesc0, s0, ls0)
+        x1 = tokens(kpts1, desc1, lines1, ldesc1, jdesc1, s1, ls1)
+        line_enc0 = lenc(lines0, ls0)
+        line_enc1 = lenc(lines1, ls1)
+
+        # token validity: endpoint tokens inherit the line's validity
+        tv0 = jnp.concatenate([jnp.repeat(lv0, 2), v0])
+        tv1 = jnp.concatenate([jnp.repeat(lv1, 2), v1])
+        ejv0 = jnp.repeat(lv0, 2)  # [2K0] endpoint validity
+        ejv1 = jnp.repeat(lv1, 2)
+        ji0_flat = ji0.reshape(-1)
+        ji1_flat = ji1.reshape(-1)
+
+        for i in range(self.depth):
+            self_l = AttentionalPropagationGS(
+                self.num_heads, dtype=self.dtype, name=f"self_{i}"
+            )
+            x0 = x0 + self_l(x0, x0, mask=tv0)
+            x1 = x1 + self_l(x1, x1, mask=tv1)
+            line_l = LineLayerGS(dtype=self.dtype, name=f"line_{i}")
+            for _ in range(self.num_line_iterations):
+                x0 = line_l(x0, line_enc0, ji0_flat, ejv0)
+                x1 = line_l(x1, line_enc1, ji1_flat, ejv1)
+            cross_l = AttentionalPropagationGS(
+                self.num_heads, dtype=self.dtype, name=f"cross_{i}"
+            )
+            d0 = cross_l(x0, x1, mask=tv1)
+            d1 = cross_l(x1, x0, mask=tv0)
+            x0 = x0 + d0
+            x1 = x1 + d1
+
+        # ---- unified point assignment over ALL tokens (junctions + kps),
+        # one dustbin normalization across both populations ----
+        final_proj = nn.Dense(self.dim, dtype=self.dtype, name="final_proj")
+        f0 = final_proj(x0).astype(jnp.float32)
+        f1 = final_proj(x1).astype(jnp.float32)
+        sim = (f0 @ f1.T) / jnp.sqrt(jnp.float32(self.dim))
+        bin_score = self.param("bin_score", nn.initializers.constant(1.0), ())
+        log_full = log_double_softmax(sim, bin_score, tv0, tv1)
+        tm0, tm1, tsc0, tsc1 = get_matches(
+            log_full, tv0, tv1, self.filter_threshold
+        )
+
+        # keypoint view: a keypoint row's match is valid only if it lands
+        # on a keypoint token of the other image
+        km0 = tm0[2 * k0:]
+        km0 = jnp.where(km0 >= 2 * k1, km0 - 2 * k1, -1)
+        km1 = tm1[2 * k1:]
+        km1 = jnp.where(km1 >= 2 * k0, km1 - 2 * k0, -1)
+        ksc0 = tsc0[2 * k0:]
+        ksc1 = tsc1[2 * k1:]
+        kp_log = jnp.zeros((n0 + 1, n1 + 1), jnp.float32)
+        kp_log = kp_log.at[:n0, :n1].set(log_full[2 * k0:-1, 2 * k1:-1])
+        kp_log = kp_log.at[:n0, n1].set(log_full[2 * k0:-1, -1])
+        kp_log = kp_log.at[n0, :n1].set(log_full[-1, 2 * k1:-1])
+
+        # ---- line assignment from the junction tokens ----
+        final_line_proj = nn.Dense(
+            self.dim, dtype=self.dtype, name="final_line_proj"
+        )
+        lf0 = final_line_proj(x0[: 2 * k0]).astype(jnp.float32)
+        lf1 = final_line_proj(x1[: 2 * k1]).astype(jnp.float32)
+        lsim = (lf0 @ lf1.T) / jnp.sqrt(jnp.float32(self.dim))
+        # gather at the (possibly shared) junction slots of each endpoint
+        lsim = jnp.take(lsim, ji1_flat, axis=1)
+        lsim = jnp.take(lsim, ji0_flat, axis=0)
+        lsim = lsim.reshape(k0, 2, k1, 2)
+        raw_line_scores = 0.5 * jnp.maximum(
+            lsim[:, 0, :, 0] + lsim[:, 1, :, 1],
+            lsim[:, 0, :, 1] + lsim[:, 1, :, 0],
+        )
+        line_bin_score = self.param(
+            "line_bin_score", nn.initializers.constant(1.0), ()
+        )
+        line_log = log_double_softmax(
+            raw_line_scores, line_bin_score, lv0, lv1
+        )
+        lm0, lm1, lsc0, lsc1 = get_matches(
+            line_log, lv0, lv1, self.filter_threshold
+        )
+
+        return {
+            "matches0": km0,
+            "matches1": km1,
+            "matching_scores0": ksc0,
+            "matching_scores1": ksc1,
+            "log_assignment": kp_log,
+            "token_log_assignment": log_full,
+            "token_matches0": tm0,
+            "line_matches0": lm0,
+            "line_matches1": lm1,
+            "line_matching_scores0": lsc0,
+            "line_matching_scores1": lsc1,
+            "line_log_assignment": line_log,
+            "raw_line_scores": raw_line_scores,
+            # aliases for this repo's earlier pipeline consumers
+            "scores0": ksc0,
+            "assignment": jnp.exp(kp_log[:n0, :n1]),
+            "line_scores0": lsc0,
+            "line_assignment": jnp.exp(line_log[:k0, :k1]),
+        }
+
+
+def gluestick_nll_loss(
+    log_assignment: jax.Array,  # [M+1, N+1]
+    gt_matches0: jax.Array,  # [M] index into N, or -1
+    gt_matches1: jax.Array,  # [N] index into M, or -1
+    gt_assignment: Optional[jax.Array] = None,  # [M, N] bool
+    balancing: float = 0.5,
+) -> jax.Array:
+    """Balanced assignment NLL (gluestick.py sub_loss:371-409):
+    ``balancing * nll(positives) + (1 - balancing) * nll(dustbins)``."""
+    m, n = log_assignment.shape[0] - 1, log_assignment.shape[1] - 1
+    if gt_assignment is None:
+        gt_assignment = (
+            gt_matches0[:, None] == jnp.arange(n)[None, :]
+        ) & (gt_matches0 >= 0)[:, None]
+    pos = gt_assignment.astype(jnp.float32)
+    num_pos = jnp.maximum(pos.sum(), 1.0)
+    neg0 = (gt_matches0 == -1).astype(jnp.float32)
+    neg1 = (gt_matches1 == -1).astype(jnp.float32)
+    num_neg = jnp.maximum(neg0.sum() + neg1.sum(), 1.0)
+    nll_pos = -(log_assignment[:m, :n] * pos).sum() / num_pos
+    nll_neg = (
+        -(log_assignment[:m, n] * neg0).sum()
+        - (log_assignment[m, :n] * neg1).sum()
+    ) / num_neg
+    return balancing * nll_pos + (1.0 - balancing) * nll_neg
+
+
+register_model(
+    "matcher_gluestick",
+    {
+        "depth": 9,
+        "dim": 256,
+        "num_heads": 4,
+        "num_line_iterations": 1,
+        "filter_threshold": 0.2,
+    },
+)(GlueStickMatcher)

@@ -6,9 +6,8 @@ Parity targets (the reference's line stack):
 - gluefactory/models/lines/wireframe.py — junction+line wireframe assembly
   from a point extractor + a line detector, with line-point descriptor
   sampling;
-- gluefactory/models/matchers/gluestick.py (776 LoC) — the joint
-  point+line GNN matcher (points and line tokens attend jointly, separate
-  assignment heads).
+- gluefactory/models/matchers/gluestick.py — see matching/gluestick.py
+  for the full joint point+line GNN matcher.
 
 TPU redesign: pytlsd's region-growing C++ is replaced by a static-shape
 anchor-marching detector — top-K NMS'd gradient anchors each march a
@@ -16,10 +15,9 @@ fixed number of steps along their level-line direction, with the endpoint
 chosen by a cumulative gradient-alignment mask (no data-dependent loops,
 the whole detector jits). Line descriptors are bilinear samples of any
 dense descriptor map along the segment (SOLD2/GlueStick sampling). The
-GlueStick matcher reuses the LightGlue-style attention blocks over the
-CONCATENATED point+line token set — the joint-context property that
-defines GlueStick — with separate dual-softmax heads for points and
-lines.
+full joint point+line GlueStick matcher lives in matching/gluestick.py
+(line-endpoint junction tokens, shared self/cross propagation, line
+message passing, unified dustbin assignment).
 """
 
 from __future__ import annotations
@@ -31,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.bilinear import bilinear_sample
-from .matchers import GlueAttention, mutual_nearest_neighbor
+from .matchers import mutual_nearest_neighbor
 from .registry import register_model
 
 
@@ -207,98 +205,6 @@ def match_lines_nn(
     return mutual_nearest_neighbor(
         norm(m0), norm(m1f), threshold=threshold, valid0=valid0, valid1=valid1
     )
-
-
-class GlueStickMatcher(nn.Module):
-    """Joint point+line matcher (gluestick.py capability, compact).
-
-    Points and lines form ONE token set per image — line tokens are the
-    mean of their sampled descriptors plus endpoint-midpoint positional
-    encoding — and every attention layer (self within an image, cross
-    between images) runs over the concatenated set, so line context
-    refines point matches and vice versa (the defining GlueStick
-    property). Separate dual-softmax assignment heads produce point
-    matches and line matches.
-    """
-
-    depth: int = 6
-    dim: int = 128
-    num_heads: int = 4
-    n_line_samples: int = 5
-    filter_threshold: float = 0.1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(
-        self,
-        kpts0, desc0, kpts1, desc1,  # points: [N, 2] in [-1,1], [N, Dp]
-        lines0, ldesc0, lines1, ldesc1,  # lines: [K, 2, 2] in [-1,1], [K, S, Dl]
-        valid0=None, valid1=None, lvalid0=None, lvalid1=None,
-    ) -> Dict[str, jax.Array]:
-        n0, n1 = desc0.shape[0], desc1.shape[0]
-        k0, k1 = ldesc0.shape[0], ldesc1.shape[0]
-
-        def tokens(desc, ldesc, name_suffix):
-            p = nn.Dense(self.dim, dtype=self.dtype,
-                         name=f"point_proj{name_suffix}")(desc)
-            l = nn.Dense(self.dim, dtype=self.dtype,
-                         name=f"line_proj{name_suffix}")(ldesc.mean(axis=1))
-            return jnp.concatenate([p, l], axis=0)
-
-        x0 = tokens(desc0, ldesc0, "")
-        x1 = tokens(desc1, ldesc1, "_1")
-        mid0 = lines0.mean(axis=1)
-        mid1 = lines1.mean(axis=1)
-        pos0 = jnp.concatenate([kpts0, mid0], axis=0)
-        pos1 = jnp.concatenate([kpts1, mid1], axis=0)
-        v0 = jnp.concatenate([
-            valid0 if valid0 is not None else jnp.ones(n0, bool),
-            lvalid0 if lvalid0 is not None else jnp.ones(k0, bool),
-        ])
-        v1 = jnp.concatenate([
-            valid1 if valid1 is not None else jnp.ones(n1, bool),
-            lvalid1 if lvalid1 is not None else jnp.ones(k1, bool),
-        ])
-
-        for i in range(self.depth):
-            x0 = GlueAttention(self.num_heads, dtype=self.dtype,
-                               name=f"self0_{i}")(x0, x0, pos0, pos0, mask=v0)
-            x1 = GlueAttention(self.num_heads, dtype=self.dtype,
-                               name=f"self1_{i}")(x1, x1, pos1, pos1, mask=v1)
-            x0n = GlueAttention(self.num_heads, dtype=self.dtype,
-                                name=f"cross0_{i}")(x0, x1, mask=v1)
-            x1 = GlueAttention(self.num_heads, dtype=self.dtype,
-                               name=f"cross1_{i}")(x1, x0, mask=v0)
-            x0 = x0n
-
-        def assign(f0, f1, va, vb, suffix):
-            f0 = nn.Dense(self.dim, dtype=self.dtype,
-                          name=f"final{suffix}")(f0)
-            f1 = nn.Dense(self.dim, dtype=self.dtype,
-                          name=f"final{suffix}_1")(f1)
-            sim = (f0 @ f1.T) / jnp.sqrt(self.dim)
-            sim = jnp.where(va[:, None] & vb[None, :], sim, -1e9)
-            p = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=0)
-            nn01 = jnp.argmax(p, axis=1)
-            nn10 = jnp.argmax(p, axis=0)
-            best = jnp.take_along_axis(p, nn01[:, None], axis=1)[:, 0]
-            mutual = jnp.arange(f0.shape[0]) == nn10[nn01]
-            ok = mutual & (best > self.filter_threshold) & va
-            return (jnp.where(ok, nn01, -1), jnp.where(ok, best, 0.0), p)
-
-        pm, ps, p_assign = assign(x0[:n0], x1[:n1], v0[:n0], v1[:n1], "_pt")
-        lm, ls, l_assign = assign(x0[n0:], x1[n1:], v0[n0:], v1[n1:], "_ln")
-        return {
-            "matches0": pm, "scores0": ps, "assignment": p_assign,
-            "line_matches0": lm, "line_scores0": ls,
-            "line_assignment": l_assign,
-        }
-
-
-register_model(
-    "matcher_gluestick",
-    {"depth": 6, "dim": 128, "num_heads": 4, "filter_threshold": 0.1},
-)(GlueStickMatcher)
 
 
 @register_model(

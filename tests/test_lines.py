@@ -13,15 +13,17 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from comet_tpu.matching.gluestick import GlueStickMatcher
 from comet_tpu.matching.lines import (
-    GlueStickMatcher,
     detect_line_segments,
     match_lines_nn,
     sample_line_descriptors,
     sample_line_points,
 )
 
-pytestmark = pytest.mark.fast
+# no module-level fast mark: conftest auto-marks non-slow tests as fast,
+# and a module-level mark would ALSO attach to the slow training class
+# (both markers -> selected by -m fast, defeating the slow gate)
 
 
 @pytest.fixture
@@ -196,6 +198,90 @@ class TestGlueStick:
                           valid0=v, valid1=v, lvalid0=lv, lvalid1=lv)
         assert (np.asarray(out["matches0"])[~np.asarray(v)] == -1).all()
         assert (np.asarray(out["line_matches0"])[2:] == -1).all()
+
+
+@pytest.mark.slow
+class TestGlueStickLearning:
+    """VERDICT r2 item 5 'Done' criterion: the full joint matcher LEARNS on
+    synthetic line pairs — loss decreases and line-assignment recall beats
+    the NN-descriptor baseline. Descriptors are pure independent noise, so
+    NN matching is chance (~1/K); the geometry (jittered endpoints) is the
+    only learnable signal, reachable only through the keypoint/endpoint
+    position encoders + GNN — exactly the capability the reference trains
+    (gluestick.py loss:371-431)."""
+
+    def _pair(self, seed, n=8, k=8, dp=8, s=5, dl=8, jitter=0.02):
+        r = np.random.default_rng(seed)
+        kp0 = r.uniform(-1, 1, (n, 2)).astype(np.float32)
+        ln0 = r.uniform(-1, 1, (k, 2, 2)).astype(np.float32)
+        pp = r.permutation(n)
+        pl = r.permutation(k)
+        kp1 = (kp0[pp] + r.normal(0, jitter, (n, 2))).astype(np.float32)
+        ln1 = (ln0[pl] + r.normal(0, jitter, (k, 2, 2))).astype(np.float32)
+        # descriptors: independent noise in both images (NN = chance)
+        d0 = r.normal(size=(n, dp)).astype(np.float32)
+        d1 = r.normal(size=(n, dp)).astype(np.float32)
+        ld0 = r.normal(size=(k, s, dl)).astype(np.float32)
+        ld1 = r.normal(size=(k, s, dl)).astype(np.float32)
+        gt_p = np.empty(n, np.int64)
+        gt_p[pp] = np.arange(n)  # matches0: index into image-1 arrays
+        gt_l = np.empty(k, np.int64)
+        gt_l[pl] = np.arange(k)
+        return (
+            tuple(jnp.asarray(a)
+                  for a in (kp0, d0, kp1, d1, ln0, ld0, ln1, ld1)),
+            jnp.asarray(gt_p), jnp.asarray(gt_l),
+            jnp.asarray(np.argsort(gt_p)), jnp.asarray(np.argsort(gt_l)),
+        )
+
+    def test_learns_and_beats_nn_baseline(self):
+        import optax
+
+        from comet_tpu.matching.gluestick import gluestick_nll_loss
+
+        model = GlueStickMatcher(depth=2, dim=32, num_heads=2,
+                                 encoder_layers=(16, 32),
+                                 filter_threshold=0.0)
+        args0, gt_p0, gt_l0, _, _ = self._pair(0)
+        params = model.init(jax.random.PRNGKey(0), *args0)
+
+        def loss_fn(p, args, gt_p, gt_l, gt_p1, gt_l1):
+            out = model.apply(p, *args)
+            return (
+                gluestick_nll_loss(out["log_assignment"], gt_p, gt_p1)
+                + gluestick_nll_loss(out["line_log_assignment"], gt_l, gt_l1)
+            )
+
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        losses = []
+        for it in range(300):
+            args, gt_p, gt_l, gt_p1, gt_l1 = self._pair(it % 16)
+            loss, g = step(params, args, gt_p, gt_l, gt_p1, gt_l1)
+            upd, opt = tx.update(g, opt, params)
+            params = optax.apply_updates(params, upd)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+        # held-out pairs: trained line recall must beat the NN baseline
+        hits_gs = hits_nn = total = 0
+        for seed in (100, 101, 102):
+            args, gt_p, gt_l, _, _ = self._pair(seed)
+            out = model.apply(params, *args)
+            hits_gs += int((np.asarray(out["line_matches0"])
+                            == np.asarray(gt_l)).sum())
+            nn_out = match_lines_nn(args[5], args[7])
+            hits_nn += int((np.asarray(nn_out["matches0"])
+                            == np.asarray(gt_l)).sum())
+            total += gt_l.shape[0]
+        recall_gs = hits_gs / total
+        recall_nn = hits_nn / total
+        # measured: ~0.92 held-out recall after 300 steps; NN on the
+        # noise descriptors is chance (~1/8)
+        assert recall_gs > recall_nn + 0.2, (recall_gs, recall_nn)
+        assert recall_gs > 0.6, recall_gs
 
 
 class TestWireframeExtractor:
