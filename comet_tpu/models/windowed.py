@@ -149,3 +149,81 @@ def windowed_forward(
         [t if t is not None else jnp.zeros((n, 2)) for t in global_tracks]
     )
     return enc[None], trk[None]
+
+
+def windowed_forward_scan(
+    apply_fn: Callable,  # (images [1, W, H, Wd, 3], queries [1, N, 2]) -> dict
+    images: jax.Array,  # [1, T, H, W, 3]
+    queries: jax.Array,  # [1, N, 2] frame-0 query points
+    window_len: int,
+    ratio: jax.Array,
+    gt_enc: Optional[jax.Array] = None,  # [T, >=7] for teacher forcing
+    teacher_force: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """In-graph windowed inference: ONE ``lax.scan`` over the static window
+    schedule with carried overlap state (stitched pose/track arrays + the
+    seeded queries), the long-context plan of SURVEY §5 and the intent of
+    the reference's (dead) ``E2Epose2.forward_window:269-612``.
+
+    Semantically equivalent to :func:`windowed_forward` (the host-side
+    reference implementation, parity-tested in tests/test_windowed.py) with
+    two deliberate reformulations that produce identical numbers:
+
+    - every window scatters ALL its frames (the host loop skips window
+      frame 0): the model pins window frame 0 to the identity pose and to
+      the seeded query, so the skipped write equals the anchor/seed value
+      already stored;
+    - the next window's queries gather at the statically precomputed
+      overlap position ``j_next`` instead of a host-side index search.
+
+    The model is traced ONCE: T frames at window_len=L dispatch as one XLA
+    computation instead of ~2T/L jitted calls with host round-trips
+    between them. Mirror-padded windows (window_len > T) can contain
+    duplicate frame indices whose scatter order XLA does not define — use
+    the host version for that degenerate case.
+    """
+    t_total = images.shape[1]
+    n = queries.shape[1]
+    windows = window_schedule(t_total, window_len)
+
+    idx_arr = jnp.asarray(np.stack(windows))  # [n_win, L] static schedule
+    # j_next[w]: position of window w+1's start inside window w (-1: keep)
+    j_next = []
+    for w in range(len(windows)):
+        if w + 1 < len(windows):
+            nxt = int(windows[w + 1][0])
+            here = list(windows[w])
+            j_next.append(here.index(nxt) if nxt in here else -1)
+        else:
+            j_next.append(-1)
+    j_next = jnp.asarray(j_next, jnp.int32)
+
+    identity = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
+    enc0 = jnp.zeros((t_total, 7), jnp.float32).at[0].set(identity)
+    trk0 = jnp.zeros((t_total, n, 2), jnp.float32)
+    gt_arr = (
+        gt_enc[:, :7].astype(jnp.float32)
+        if (teacher_force and gt_enc is not None)
+        else None
+    )
+
+    def body(carry, xs):
+        enc_out, trk_out, win_q = carry
+        idx, jn = xs
+        win_images = jnp.take(images, idx, axis=1)
+        out = apply_fn(win_images, win_q)
+        enc_w = out["pred_pose_enc"][0].astype(jnp.float32)  # [L, 7]
+        tracks_w = out["pred_track"].astype(jnp.float32)  # [1, L, N, 2]
+        anchor = (
+            gt_arr[idx[0]] if gt_arr is not None else enc_out[idx[0]]
+        )
+        enc_global = compose_uvz_encodings(anchor, enc_w, ratio)
+        enc_out = enc_out.at[idx].set(enc_global)
+        trk_out = trk_out.at[idx].set(tracks_w[0])
+        seeded = jnp.take(tracks_w, jnp.maximum(jn, 0), axis=1)  # [1, N, 2]
+        win_q = jnp.where(jn >= 0, seeded, win_q)
+        return (enc_out, trk_out, win_q), None
+
+    (enc, trk, _), _ = jax.lax.scan(body, (enc0, trk0, queries),
+                                    (idx_arr, j_next))
+    return enc[None], trk[None]

@@ -19,6 +19,7 @@ from comet_tpu.models.windowed import (
     compose_uvz_encodings,
     window_schedule,
     windowed_forward,
+    windowed_forward_scan,
 )
 
 
@@ -203,6 +204,116 @@ class TestWindowedForward:
         )
         np.testing.assert_allclose(
             np.asarray(trk[0]), np.asarray(direct["pred_track"][0]), atol=1e-5
+        )
+
+    def test_scan_matches_host_on_synthetic_trajectory(self, rng):
+        """windowed_forward_scan (one lax.scan, in-graph stitching) must
+        reproduce windowed_forward exactly. The fake model is traceable: it
+        decodes the frame indices from the image content and gathers the
+        GT window-relative encodings from a precomputed anchor table."""
+        import jax
+
+        t, wlen, n = 16, 8, 6
+        cams = _random_trajectory(rng, t)
+        enc_global = encode_relative_uvz(cams)
+
+        # R[a, f]: encoding of frame f relative to anchor a (f >= a)
+        table = np.zeros((t, t, 7), np.float32)
+        for a in range(t):
+            sub = jax.tree_util.tree_map(
+                lambda x: x[a:] if x.ndim >= 1 and x.shape[0] == t else x,
+                cams,
+            )
+            table[a, a:] = np.asarray(encode_relative_uvz(sub)[:, :7])
+        table_j = jnp.asarray(table)
+
+        frame_stamp = jnp.arange(t, dtype=jnp.float32)[None, :, None, None, None]
+        images = jnp.broadcast_to(frame_stamp, (1, t, 8, 8, 3)).astype(
+            jnp.float32
+        )
+        queries = jnp.asarray(rng.random((1, n, 2)).astype(np.float32) * 8)
+
+        def fake_apply(win_images, win_queries):
+            f_idx = win_images[0, :, 0, 0, 0].astype(jnp.int32)  # [L]
+            enc = jnp.take(table_j[:, :, :], f_idx[0], axis=0)  # [T, 7]
+            enc = jnp.take(enc, f_idx, axis=0)  # [L, 7]
+            w = f_idx.shape[0]
+            tracks = jnp.broadcast_to(win_queries[:, None], (1, w, n, 2))
+            return {"pred_pose_enc": enc[None], "pred_track": tracks}
+
+        enc_h, trk_h = windowed_forward(
+            fake_apply, images, queries, wlen, cams.ratio
+        )
+        enc_s, trk_s = windowed_forward_scan(
+            fake_apply, images, queries, wlen, cams.ratio
+        )
+        np.testing.assert_allclose(
+            np.asarray(enc_s), np.asarray(enc_h), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(trk_s), np.asarray(trk_h), atol=1e-6
+        )
+        # and the chain still reproduces the GT global trajectory
+        got, want = np.asarray(enc_s[0]), np.asarray(enc_global[:, :7])
+        sign = np.sign(np.sum(got[:, 3:] * want[:, 3:], -1, keepdims=True))
+        np.testing.assert_allclose(got[:, :3], want[:, :3], atol=1e-4)
+        np.testing.assert_allclose(got[:, 3:] * sign, want[:, 3:], atol=1e-4)
+
+    @pytest.mark.slow
+    def test_scan_matches_host_on_real_model(self, rng):
+        """Scan vs host stitching on the real (tiny) COMET across 3 windows:
+        identical outputs, and the T == window_len identity case equals the
+        whole-sequence forward."""
+        import jax
+
+        from comet_tpu.models import COMET
+        from test_models import tiny_config
+
+        cfg = tiny_config()
+        wlen = cfg.seqlen
+        t = 2 * wlen
+        model = COMET(cfg)
+        images = jnp.asarray(
+            rng.random((1, t, cfg.img_size, cfg.img_size, 3)).astype(
+                np.float32
+            )
+        )
+        queries = jnp.asarray(
+            8.0 + rng.random((1, cfg.track_num, 2)).astype(np.float32)
+            * (cfg.img_size - 16)
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), images[:, :wlen], queries
+        )
+        apply_fn = lambda im, q: model.apply(params, im, q)  # noqa: E731
+
+        enc_h, trk_h = windowed_forward(
+            apply_fn, images, queries, wlen, jnp.float32(0.5)
+        )
+        enc_s, trk_s = jax.jit(
+            lambda im, q: windowed_forward_scan(
+                apply_fn, im, q, wlen, jnp.float32(0.5)
+            )
+        )(images, queries)
+        np.testing.assert_allclose(
+            np.asarray(enc_s), np.asarray(enc_h), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(trk_s), np.asarray(trk_h), atol=2e-3
+        )
+
+        # identity case: one window == whole-sequence forward
+        direct = model.apply(params, images[:, :wlen], queries)
+        enc1, trk1 = windowed_forward_scan(
+            apply_fn, images[:, :wlen], queries, wlen, jnp.float32(0.5)
+        )
+        np.testing.assert_allclose(
+            np.asarray(enc1[0]), np.asarray(direct["pred_pose_enc"][0]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(trk1[0]), np.asarray(direct["pred_track"][0]),
+            atol=1e-5,
         )
 
     def test_teacher_forcing_scheduler(self):
