@@ -43,18 +43,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def host_local_put(x: Any, sharding: NamedSharding) -> Any:
+    """``device_put`` that also works when the sharding spans devices of
+    OTHER processes (multi-process DP over DCN). Single-process shardings
+    take the fast path; multi-process ones build the global array from the
+    value every process holds (callback serves any requested index, so it
+    covers both replicated specs and host-batch shards)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(
+        xnp.shape, sharding, lambda idx: xnp[idx]
+    )
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch pytree with the leading axis sharded over data."""
+    """Place a host batch pytree with the leading axis sharded over data.
+
+    Multi-process meshes: each process passes its LOCAL batch (its
+    ``process_local_order`` slice); the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the global batch is the
+    concatenation over processes, exactly the DistributedSampler
+    semantics of the reference (gluefactory/train.py:434-481)."""
     sharding = data_sharding(mesh)
+    if sharding.is_fully_addressable:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch
+        )
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
     )
 
 
 def replicate_params(mesh: Mesh, params: Any) -> Any:
     """Fully replicate parameters (data-parallel training)."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), params)
+    return jax.tree_util.tree_map(
+        lambda x: host_local_put(x, sharding), params
+    )
 
 
 def track_sharding(mesh: Mesh) -> NamedSharding:

@@ -35,6 +35,7 @@ from ..data.datasets import SequenceSample
 from ..geometry.cameras import CameraSet
 from ..parallel.mesh import (
     data_sharding,
+    host_local_put,
     replicate_params,
     replicated,
     shard_batch,
@@ -67,7 +68,7 @@ def replicate_train_state(mesh, params, opt_state):
     params = replicate_params(mesh, params)
     sharding = replicated(mesh)
     opt_state = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        lambda x: host_local_put(x, sharding) if hasattr(x, "shape") else x,
         opt_state,
     )
     return params, opt_state
@@ -75,12 +76,22 @@ def replicate_train_state(mesh, params, opt_state):
 
 def shard_train_inputs(mesh, images, queries, gt_cams: CameraSet):
     """Leading-axis (batch) sharding for every train-step input."""
-    images, queries = shard_batch(mesh, (images, queries))
-    sharding = data_sharding(mesh)
-    gt_cams = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), gt_cams
-    )
+    images, queries, gt_cams = shard_batch(mesh, (images, queries, gt_cams))
     return images, queries, gt_cams
+
+
+def _host_local_view(x):
+    """Fetch the rows of a (possibly multi-process global) array that live
+    on THIS process. Batch-sharded arrays yield the local batch rows (in
+    shard-index order, matching the local sample order); replicated arrays
+    yield the full value; plain arrays pass through."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        datas = [np.asarray(s.data) for s in shards]
+        if len(datas) > 1 and shards[0].index != shards[-1].index:
+            return np.concatenate(datas, axis=0)
+        return datas[0]
+    return x
 
 
 def batch_metrics(
@@ -89,7 +100,10 @@ def batch_metrics(
     """Per-sample host metric rows from a batched step output.
 
     Pairwise metrics must not mix frames across sequences, so the batch is
-    sliced per sample before the float64 metric block."""
+    sliced per sample before the float64 metric block. In multi-process
+    runs only THIS process's batch rows are addressable; they correspond
+    one-to-one with ``gt_list`` (the local samples)."""
+    aux = {k: _host_local_view(v) for k, v in aux.items()}
     rows = []
     for b, gt in enumerate(gt_list):
         sample_out = {
