@@ -315,16 +315,39 @@ def _deep_merge(base: Dict, over: Dict) -> Dict:
     return out
 
 
+def _load_gray(path: str, image_size: Optional[int] = None) -> np.ndarray:
+    """[H, W] float32 grayscale in [0, 1], optionally square-resized."""
+    from PIL import Image
+
+    img = Image.open(path).convert("L")
+    if image_size:
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
 class HomographyEvalPipeline(EvalPipeline):
-    """First client (hpatches.py equivalent): synthetic warped pairs stand
-    in for HPatches (no downloads offline); the eval block mirrors the
-    reference exactly — per-pair match precision/recall, weighted-DLT
-    homography error, and robust-estimator error swept over RANSAC
-    thresholds with best-mAA selection.
+    """First client (hpatches.py equivalent). Three data sources:
+
+    - default: synthetic textured warped pairs (the offline HPatches
+      stand-in);
+    - ``data.image_dir``: REAL images from a directory of PNG/JPGs, each
+      warped by a sampled homography with exact GT — the
+      gluefactory/datasets/homographies.py approach of training/evaluating
+      on real image content when the HPatches archive is unavailable;
+    - ``data.image_dir`` + ``data.pairs_file``: explicit pair list, one
+      pair per line ``name0 name1 h00 h01 ... h22`` (row-major H_0to1) —
+      the HPatches sequence layout (image pairs + H_1_N files) flattened
+      into one file.
+
+    The eval block mirrors the reference exactly — per-pair match
+    precision/recall, weighted-DLT homography error, and robust-estimator
+    error swept over RANSAC thresholds with best-mAA selection.
     """
 
     default_conf = {
-        "data": {"n_pairs": 8, "image_size": 96, "seed": 0},
+        "data": {"n_pairs": 8, "image_size": 96, "seed": 0,
+                 "image_dir": None, "pairs_file": None,
+                 "warps_per_image": 1},
         "model": {"extractor": "extractor_sift", "extractor_conf": {},
                   "matcher": "nn"},
         "eval": {"estimator": "ransac", "ransac_th": -1.0,
@@ -338,6 +361,8 @@ class HomographyEvalPipeline(EvalPipeline):
         from .benchmarks import make_synthetic_pairs
 
         d = self.conf["data"]
+        if d.get("image_dir"):
+            return self._folder_pairs(d)
         pairs = make_synthetic_pairs(
             n_pairs=d["n_pairs"],
             hw=(d["image_size"], d["image_size"]), seed=d["seed"],
@@ -347,6 +372,59 @@ class HomographyEvalPipeline(EvalPipeline):
              "H_0to1": np.asarray(p[2]), "scene": f"scene{i % 2}"}
             for i, p in enumerate(pairs)
         ]
+
+    @staticmethod
+    def _folder_pairs(d):
+        import os
+
+        from .benchmarks import random_homography, warp_image
+
+        image_dir = d["image_dir"]
+        size = d.get("image_size") or 96
+        exts = (".png", ".jpg", ".jpeg", ".bmp")
+        if d.get("pairs_file"):
+            items = []
+            with open(d["pairs_file"]) as f:
+                for i, line in enumerate(f):
+                    parts = line.split()
+                    if len(parts) < 11:
+                        continue
+                    n0, n1 = parts[0], parts[1]
+                    h = np.asarray([float(x) for x in parts[2:11]],
+                                   np.float32).reshape(3, 3)
+                    items.append({
+                        "name": f"{os.path.splitext(n0)[0]}-"
+                                f"{os.path.splitext(n1)[0]}",
+                        "image0": _load_gray(os.path.join(image_dir, n0)),
+                        "image1": _load_gray(os.path.join(image_dir, n1)),
+                        "H_0to1": h,
+                        "scene": os.path.splitext(n0)[0],
+                    })
+            if not items:
+                raise ValueError(f"no pairs parsed from {d['pairs_file']}")
+            return items
+        names = sorted(
+            f for f in os.listdir(image_dir) if f.lower().endswith(exts)
+        )
+        if not names:
+            raise ValueError(f"no images under {image_dir}")
+        rng = np.random.default_rng(d.get("seed", 0))
+        items = []
+        import jax.numpy as jnp
+
+        for name in names:
+            img = _load_gray(os.path.join(image_dir, name), size)
+            for w in range(int(d.get("warps_per_image", 1))):
+                h_gt = random_homography(rng, *img.shape[:2])
+                img0 = jnp.asarray(img[..., None], jnp.float32)
+                img1 = warp_image(img0, jnp.asarray(h_gt, jnp.float32))
+                items.append({
+                    "name": f"{os.path.splitext(name)[0]}_w{w}",
+                    "image0": img0, "image1": img1,
+                    "H_0to1": np.asarray(h_gt, np.float32),
+                    "scene": os.path.splitext(name)[0],
+                })
+        return items
 
     def get_model(self):
         from .matchers import mutual_nearest_neighbor
@@ -575,8 +653,9 @@ class RelativePoseEvalPipeline(EvalPipeline):
     default_conf = {
         "data": {"n_pairs": 6, "n_points": 96, "image_size": 256,
                  "focal": 300.0, "noise": 0.4, "outlier_frac": 0.15,
-                 "seed": 0},
-        "model": {},
+                 "seed": 0, "amd_dir": None, "frame_gap": 2,
+                 "max_pairs": 12, "intrinsics": None},
+        "model": {"extractor": "extractor_sift", "extractor_conf": {}},
         "eval": {"estimator": "ransac", "ransac_th": -1.0,
                  "auc_ths": [5, 10, 20]},
     }
@@ -585,19 +664,103 @@ class RelativePoseEvalPipeline(EvalPipeline):
     ]
 
     def get_dataloader(self):
-        return make_synthetic_pose_pairs(**self.conf["data"])
+        d = self.conf["data"]
+        if d.get("amd_dir"):
+            return self._amd_pairs(d)
+        d = {k: v for k, v in d.items()
+             if k not in ("amd_dir", "frame_gap", "max_pairs", "intrinsics")}
+        return make_synthetic_pose_pairs(**d)
+
+    @staticmethod
+    def _amd_pairs(d):
+        """REAL image pairs with GT relative pose from an AMD-layout
+        sequence tree (root/modelX/seq_Y/{frames, GroundTruth}, SURVEY
+        §3.4 — the on-disk role of the reference's MegaDepth-1500 pairs,
+        gluefactory/eval/megadepth1500.py). Poses are 4x4 w2c:
+        R_0to1 = R1 R0^T, t_0to1 = t1 - R_0to1 t0."""
+        import os
+
+        root = d["amd_dir"]
+        gap = int(d.get("frame_gap", 2))
+        # AMD intrinsics (kubric_movif_SFM_dataset_YT.py:207-210) unless
+        # overridden as (fx, fy, cx, cy)
+        fx, fy, cx, cy = d.get("intrinsics") or (
+            268.44444444, 268.44444444, 320.0, 240.0
+        )
+        k = np.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        seq_dirs = sorted(
+            os.path.join(r, sub)
+            for r, dirs, _ in os.walk(root)
+            for sub in dirs
+            if os.path.isdir(os.path.join(r, sub, "frames"))
+        )
+        items = []
+        for seq in seq_dirs:
+            frames = sorted(os.listdir(os.path.join(seq, "frames")))
+            gts = sorted(os.listdir(os.path.join(seq, "GroundTruth")))
+            for i in range(0, len(frames) - gap, gap):
+                p0 = np.loadtxt(os.path.join(seq, "GroundTruth", gts[i]))
+                p1 = np.loadtxt(
+                    os.path.join(seq, "GroundTruth", gts[i + gap])
+                )
+                r0, t0 = p0[:3, :3], p0[:3, 3]
+                r1, t1 = p1[:3, :3], p1[:3, 3]
+                r01 = r1 @ r0.T
+                t01 = t1 - r01 @ t0
+                seq_tag = os.path.relpath(seq, root).replace(os.sep, "_")
+                items.append({
+                    "name": f"{seq_tag}_f{i:03d}_f{i + gap:03d}",
+                    "image0": _load_gray(
+                        os.path.join(seq, "frames", frames[i])
+                    ),
+                    "image1": _load_gray(
+                        os.path.join(seq, "frames", frames[i + gap])
+                    ),
+                    "K0": k, "K1": k,
+                    "R_0to1": r01.astype(np.float32),
+                    "t_0to1": t01.astype(np.float32),
+                    "scene": seq_tag,
+                })
+                if len(items) >= int(d.get("max_pairs", 12)):
+                    return items
+        if not items:
+            raise ValueError(f"no AMD sequences under {root}")
+        return items
 
     def get_model(self):
-        def oracle(data):
-            n = data["kpts_proj0"].shape[0]
+        from .matchers import mutual_nearest_neighbor
+        from .registry import get_model as get_registered
+
+        mc = self.conf.get("model") or {}
+        extract = None
+        if mc.get("extractor"):
+            extract = get_registered(
+                mc["extractor"], **mc.get("extractor_conf", {})
+            )
+
+        def model(data):
+            if "kpts_proj0" in data:  # synthetic oracle correspondences
+                n = data["kpts_proj0"].shape[0]
+                return {
+                    "keypoints0": data["kpts_proj0"],
+                    "keypoints1": data["kpts_proj1"],
+                    "matches0": np.arange(n, dtype=np.int64),
+                    "matching_scores0": np.ones(n, np.float32),
+                }
+            f0 = extract(data["image0"])
+            f1 = extract(data["image1"])
+            m = mutual_nearest_neighbor(
+                f0["descriptors"], f1["descriptors"],
+                valid0=f0.get("valid"), valid1=f1.get("valid"),
+            )
             return {
-                "keypoints0": data["kpts_proj0"],
-                "keypoints1": data["kpts_proj1"],
-                "matches0": np.arange(n, dtype=np.int64),
-                "matching_scores0": np.ones(n, np.float32),
+                "keypoints0": f0["keypoints"],
+                "keypoints1": f1["keypoints"],
+                "matches0": m["matches0"],
+                "matching_scores0": m["scores0"],
             }
 
-        return oracle
+        return model
 
     def run_eval(self, loader, pred_file):
         from ..twoview.robust_estimators import get_estimator
@@ -621,10 +784,13 @@ class RelativePoseEvalPipeline(EvalPipeline):
             pts0 = k0[valid]
             pts1 = k1[np.clip(m0[valid], 0, len(k1) - 1)]
 
-            epi = sampson_distance_normalized(
-                pts0, pts1, data["K0"], data["K1"],
-                data["R_0to1"], data["t_0to1"],
-            )
+            if pts0.shape[0] > 0:
+                epi = sampson_distance_normalized(
+                    pts0, pts1, data["K0"], data["K1"],
+                    data["R_0to1"], data["t_0to1"],
+                )
+            else:  # real pairs can produce zero matches (weak texture)
+                epi = np.full((1,), np.inf)
             row = {
                 "epi_prec@1e-4": float((epi < 1e-4).mean()),
                 "epi_prec@5e-4": float((epi < 5e-4).mean()),
@@ -635,6 +801,12 @@ class RelativePoseEvalPipeline(EvalPipeline):
             import jax.numpy as jnp
 
             for th in test_ths:
+                if pts0.shape[0] < 5:  # 5-point minimum for E
+                    pr = pose_results[th]
+                    pr["rel_pose_error"].append(float("inf"))
+                    pr["ransac_inl"].append(0.0)
+                    pr["ransac_inl%"].append(0.0)
+                    continue
                 est = get_estimator(
                     "relative_pose", conf["estimator"], {"ransac_th": th}
                 )
