@@ -217,7 +217,9 @@ def run_eval_data_benchmark(
     if device_preprocess:
         from .data.device_pipeline import DevicePreprocessDataset
 
-        dataset = DevicePreprocessDataset(dataset, resample=resample)
+        dataset = DevicePreprocessDataset(
+            dataset, resample=resample, keep_on_device=True
+        )
     n = min(len(dataset), max_sequences)
 
     # compile pass (1 sequence), then the timed pass over n sequences

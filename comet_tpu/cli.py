@@ -100,9 +100,11 @@ def _finite_json(obj):
     return obj
 
 
-def _maybe_device_preprocess(dataset, args):
+def _maybe_device_preprocess(dataset, args, keep_on_device=False):
     """Wrap a dataset in the requested preprocessing fast path (XLA
-    device pipeline or the native C++ loader)."""
+    device pipeline or the native C++ loader). ``keep_on_device`` skips
+    the f32 device->host round trip for consumers that feed the images
+    straight back to the device (the eval loop)."""
     device = getattr(args, "device_preprocess", False)
     native_loader = getattr(args, "loader", "pil") == "native"
     if device and native_loader:
@@ -114,7 +116,8 @@ def _maybe_device_preprocess(dataset, args):
         from .data.device_pipeline import DevicePreprocessDataset
 
         return DevicePreprocessDataset(
-            dataset, resample=getattr(args, "device_resample", "bilinear")
+            dataset, resample=getattr(args, "device_resample", "bilinear"),
+            keep_on_device=keep_on_device,
         )
     if native_loader:
         from .data.native_loader import NativeLoaderDataset
@@ -160,7 +163,7 @@ def cmd_eval(args):
     )
     # XLA fast path: host decodes, device crops/resizes/normalizes
     # (bilinear; the default host path keeps LANCZOS reference parity)
-    dataset = _maybe_device_preprocess(dataset, args)
+    dataset = _maybe_device_preprocess(dataset, args, keep_on_device=True)
     os.makedirs(args.output_dir, exist_ok=True)
     logger = CsvLogger(os.path.join(args.output_dir, "test_results.csv"))
     t0 = time.time()

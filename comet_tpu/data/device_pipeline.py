@@ -151,12 +151,21 @@ class DevicePreprocessDataset:
     everything else is one jitted graph per (image-shape, crop) signature.
     """
 
-    def __init__(self, base: VideoPoseDataset, resample: str = "bilinear"):
+    def __init__(self, base: VideoPoseDataset, resample: str = "bilinear",
+                 keep_on_device: bool = False):
+        """``keep_on_device=True`` returns the preprocessed images as a
+        jax.Array instead of numpy: the eval step then consumes them
+        directly, skipping a full f32 device->host->device round trip per
+        sequence (~100 MB at 16x512^2 — measured seconds over this
+        environment's tunneled chip; ~20 ms of PCIe on a real host, still
+        worth skipping). Host-side consumers (visualization, np.stack
+        batching) silently convert back, so it is only a perf choice."""
         assert resample in ("bilinear", "lanczos"), resample
         self.base = base
         self.crop_size = base.crop_size
         self.seq_names = base.seq_names
         self.resample = resample
+        self.keep_on_device = keep_on_device
 
     def __len__(self):
         return len(self.base)
@@ -172,7 +181,8 @@ class DevicePreprocessDataset:
             jnp.asarray(raw["mask0_u8"]), square, self.crop_size
         )
         return SequenceSample(
-            images=np.asarray(images, np.float32),
+            images=images if self.keep_on_device
+            else np.asarray(images, np.float32),
             t_xyz=raw["t_xyz"],
             q_wxyz=raw["q_wxyz"],
             t_uvz=raw["t_uvz"],

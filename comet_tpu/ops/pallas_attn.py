@@ -224,6 +224,13 @@ def fused_attention(
     lk = k.shape[1]
     if scale is None:
         scale = 1.0 / (c // num_heads) ** 0.5
+    if q.dtype != jnp.bfloat16 and jax.default_backend() != "cpu":
+        # f32 on real TPU: the kernels' VMEM blocking is sized for bf16
+        # operands (f32 whole-sequence ViT blocks measured 25.8 MB > the
+        # 16 MB scoped-VMEM ceiling — found by the train bench suite).
+        # bf16 is the production inference dtype; f32 runs the bit-exact
+        # XLA reference. CPU keeps interpret-mode kernels for parity tests.
+        return _reference_attention(q, k, v, num_heads, scale)
     small = lq <= 64 and lk <= 64
     if small:
         if b * lq < 256:  # too little work to amortize a kernel launch

@@ -390,10 +390,18 @@ def fused_cross_block(
     num_heads: int,
 ) -> jax.Array:
     """One CrossAttnBlock application, fully fused. Falls back to the jnp
-    reference for shapes with too little work to amortize a kernel."""
+    reference for shapes with too little work to amortize a kernel, and
+    for f32 inputs on real TPU: the exact-erf GELU the f32 path mandates
+    has no Mosaic lowering (erf/erfc unimplemented — found by the train
+    bench suite), and XLA's erfc-based gelu is the bit-exact reference
+    anyway. bf16 (the production inference dtype) uses tanh-GELU and
+    stays fused; CPU runs the kernel in interpret mode for parity tests."""
     b, lq, c = x.shape
     lk = ctx.shape[1]
-    if lq > 512 or lk > 1024 or b * lq < 256:
+    f32_on_tpu = (
+        x.dtype != jnp.bfloat16 and jax.default_backend() != "cpu"
+    )
+    if lq > 512 or lk > 1024 or b * lq < 256 or f32_on_tpu:
         return _cross_reference(
             x, ctx, gamma, beta, wq, bq, wkv, bkv, wout, bout, w1, b1, w2,
             b2, num_heads,
@@ -417,9 +425,14 @@ def fused_attn_block(
     num_heads: int,
 ) -> jax.Array:
     """One AttnBlock application, fully fused. Falls back to the jnp
-    reference for shapes with too little work to amortize a kernel."""
+    reference for shapes with too little work to amortize a kernel, and
+    for f32 inputs on real TPU (exact-erf GELU has no Mosaic lowering —
+    see fused_cross_block)."""
     b, lq, c = x.shape
-    if lq > 64 or b * lq < 256:
+    f32_on_tpu = (
+        x.dtype != jnp.bfloat16 and jax.default_backend() != "cpu"
+    )
+    if lq > 64 or b * lq < 256 or f32_on_tpu:
         return _seq_reference(
             x, wqkv, bqkv, wout, bout, w1, b1, w2, b2, num_heads
         )

@@ -41,8 +41,16 @@ def make_gt_cameras(sample: SequenceSample) -> CameraSet:
     )
 
 
+@functools.lru_cache(maxsize=8)
 def build_eval_step(model: COMET, cfg: CometConfig):
-    """Jitted device function: images + queries + gt cams -> predictions."""
+    """Jitted device function: images + queries + gt cams -> predictions.
+
+    Memoized on (model, cfg) — both are frozen dataclasses — so repeated
+    ``evaluate()`` calls (per-epoch eval in cmd_train, the warmup+timed
+    passes of the data benchmark) reuse ONE jitted callable and its
+    compile cache. Without this every call re-jitted the step: the data
+    bench measured 36 s/sequence, almost all of it one silent ~2-minute
+    recompile inside the timed pass."""
 
     @jax.jit
     def step(params, images, queries, gt_cams: CameraSet):
