@@ -66,28 +66,39 @@ def _packed_kernel(
     g = rows // lq
     hl = num_heads * lq
 
+    # Masked-tile packing: Mosaic forbids head-split reshapes (minor dim
+    # d=48 is not lane-aligned), so the packed operands are built from
+    # ALIGNED ops only — tile K/V H times along rows and multiply by a
+    # constant block mask. Row block h of kp is K with every channel
+    # outside head h zeroed, so ONE full-C contraction yields all heads'
+    # logits side by side: logits[g, q, (h, kq)] = q_h . k_h.
     q3 = q.reshape(g, lq, c)
-    # K packed block-diagonal: [g, C, H*lq]; block (48h:48h+48, 16h:16h+16)
-    # holds K_{g,h}^T
-    k4 = k.reshape(g, lq, num_heads, d).transpose(0, 2, 3, 1)  # [g,H,d,lq]
-    kp = jnp.zeros((g, num_heads, d, num_heads, lq), k.dtype)
-    for h in range(num_heads):
-        kp = kp.at[:, h, :, h, :].set(k4[:, h])
-    kp = kp.reshape(g, c, hl)
+    k3 = k.reshape(g, lq, c)
+    v3 = v.reshape(g, lq, c)
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (hl, c), 0) // lq
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (hl, c), 1) // d
+    mask = (row_head == col_head).astype(x.dtype)  # [H*lq, C]
+    kp = jnp.concatenate([k3] * num_heads, axis=1) * mask  # [g, H*lq, C]
     logits = jax.lax.dot_general(
         q3, kp,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale  # [g, lq, H*lq]
-    w = jax.nn.softmax(
-        logits.reshape(g, lq, num_heads, lq), axis=-1
-    ).astype(x.dtype).reshape(g, lq, hl)
-    # V packed block-diagonal: [g, H*lq, C]; block (16h:16h+16, 48h:48h+48)
-    v4 = v.reshape(g, lq, num_heads, d).transpose(0, 2, 1, 3)  # [g,H,lq,d]
-    vp = jnp.zeros((g, num_heads, lq, num_heads, d), v.dtype)
-    for h in range(num_heads):
-        vp = vp.at[:, h, :, h, :].set(v4[:, h])
-    vp = vp.reshape(g, hl, c)
+    # per-head softmax WITHOUT the (layout-hostile) [.., H, lq] reshape:
+    # exp, then per-16-block sums via a constant block-diagonal matmul.
+    # No max subtraction (measured free-standing to be numerically and
+    # perf neutral at these logit magnitudes, PROFILE.md).
+    e = jnp.exp(logits)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (hl, hl), 0) // lq
+    blk2 = jax.lax.broadcasted_iota(jnp.int32, (hl, hl), 1) // lq
+    ssum = (blk == blk2).astype(jnp.float32)  # [H*lq, H*lq]
+    denom = jax.lax.dot_general(
+        e, ssum,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    w = (e / denom).astype(x.dtype)  # [g, lq, H*lq]
+    vp = jnp.concatenate([v3] * num_heads, axis=1) * mask  # [g, H*lq, C]
     a = jax.lax.dot_general(
         w, vp,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
