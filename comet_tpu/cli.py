@@ -409,14 +409,20 @@ def cmd_demo(args):
 
     from .models.windowed import windowed_forward_scan
 
-    def _apply(win_images, win_queries):
-        return model.apply(params, win_images, win_queries)
-
     # one jitted callable for ALL long sequences (jax.jit caches per input
-    # shape, so equal-length sequences reuse the compiled scan)
-    windowed_jit = jax.jit(
-        lambda im, q, r: windowed_forward_scan(_apply, im, q, cfg.seqlen, r)
-    )
+    # shape, so equal-length sequences reuse the compiled scan). params
+    # MUST be an argument: closing over them embeds 253M weights as
+    # program constants (a ~500 MB serialized computation — rejected by
+    # the remote-compile transport outright)
+    def _windowed(p, im, q, r):
+        return windowed_forward_scan(
+            lambda wi, wq: model.apply(p, wi, wq), im, q, cfg.seqlen, r
+        )
+
+    windowed_jit_ = jax.jit(_windowed)
+
+    def windowed_jit(im, q, r):
+        return windowed_jit_(params, im, q, r)
     rng = np.random.default_rng(cfg.train.seed)
     n = min(len(dataset), args.max_sequences or len(dataset))
     for i in range(n):

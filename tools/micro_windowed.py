@@ -50,29 +50,43 @@ def main():
     params = cast_params_for_inference(params, cfg.dtype)
     ratio = jnp.float32(0.5)
 
-    apply_jit = jax.jit(lambda im, q: model.apply(params, im, q))
+    # params must be jit ARGUMENTS, not closed-over constants: embedding
+    # 253M weights as literals makes the serialized program ~500 MB
+    apply_jit_ = jax.jit(lambda p, im, q: model.apply(p, im, q))
+
+    def apply_jit(im, q):
+        return apply_jit_(params, im, q)
 
     def host(im, q):
         return windowed_forward(apply_jit, im, q, cfg.seqlen, ratio)
 
-    scan = jax.jit(
-        lambda im, q: windowed_forward_scan(
-            lambda wi, wq: model.apply(params, wi, wq),
+    scan_ = jax.jit(
+        lambda p, im, q: windowed_forward_scan(
+            lambda wi, wq: model.apply(p, wi, wq),
             im, q, cfg.seqlen, ratio,
         )
     )
+
+    def scan(im, q):
+        return scan_(params, im, q)
+
+    def sync(out):
+        # scalar FETCH, not block_until_ready: the tunneled axon backend
+        # returns from block_until_ready before device completion (same
+        # reason bench_lib synchronizes with float() fetches)
+        return float(jnp.sum(out[0])) + float(jnp.sum(out[1]))
 
     results = {}
     for name, fn in (("host-loop", host), ("lax.scan", scan)):
         t0 = time.time()
         out = fn(images, queries)
-        jax.block_until_ready(out)
+        sync(out)
         compile_s = time.time() - t0
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(images, queries)
-            jax.block_until_ready(out)
+            sync(out)
             times.append(time.perf_counter() - t0)
         times.sort()
         med = times[len(times) // 2]
