@@ -301,6 +301,13 @@ def cmd_train(args):
         os.path.join(args.output_dir, "train_results.csv"),
         fieldnames=("loss", "loss_rot", "loss_trans", *TO_PLOT_METRICS),
     )
+    try:
+        from .training.stats import write_live_dashboard
+
+        dash = write_live_dashboard(logger.path)
+        print(f"live dashboard: {dash} (open in a browser; auto-refreshes)")
+    except OSError as exc:  # pragma: no cover - fs dependent
+        print(f"warning: dashboard write failed ({exc!r})")
     monitor = TrainingMonitor(os.path.join(args.output_dir, "anomaly_checkpoints"))
     rng = np.random.default_rng(cfg.train.seed)
     global_step = start_epoch * steps_per_epoch

@@ -192,3 +192,71 @@ def plot_metrics_png(csv_path: str, out_path: str = None) -> str:
     fig.savefig(out_path, dpi=110)
     plt.close(fig)
     return out_path
+
+
+def write_live_dashboard(csv_path: str, out_path: str = None,
+                         refresh_s: int = 15) -> str:
+    """Self-contained auto-refreshing HTML training dashboard.
+
+    The live-view role of the reference's visdom VizStats
+    (train_util.py:1914-2037) and gluefactory's TensorBoard (train.py:20,
+    230), with zero server and zero dependencies: one static HTML file
+    next to the CSV that re-fetches the CSV every ``refresh_s`` seconds
+    and redraws one inline-SVG sparkline chart per metric. Open it in any
+    browser (file:// works) while training appends rows.
+    """
+    out_path = out_path or os.path.join(
+        os.path.dirname(csv_path) or ".", "dashboard.html"
+    )
+    csv_name = os.path.basename(csv_path)
+    html = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>comet_tpu training</title>
+<style>
+ body{font-family:system-ui,sans-serif;background:#111;color:#ddd;margin:16px}
+ h1{font-size:16px;font-weight:600} .t{color:#888;font-size:11px}
+ .grid{display:grid;grid-template-columns:repeat(auto-fill,minmax(260px,1fr));gap:10px}
+ .card{background:#1c1c1e;border-radius:8px;padding:8px 10px}
+ .k{font-size:11px;color:#aaa} .v{font-size:15px;font-weight:600}
+ svg{width:100%;height:54px} path{fill:none;stroke:#6aa9ff;stroke-width:1.5}
+</style></head><body>
+<h1>comet_tpu training <span class="t" id="stamp"></span></h1>
+<div class="grid" id="grid"></div>
+<script>
+const CSV = "__CSV__", REFRESH = __REFRESH__ * 1000;
+async function tick() {
+  try {
+    const txt = await (await fetch(CSV + "?t=" + Date.now())).text();
+    const lines = txt.trim().split("\\n");
+    const head = lines[0].split(",");
+    const rows = lines.slice(1).map(l => l.split(","));
+    const grid = document.getElementById("grid");
+    grid.innerHTML = "";
+    for (let c = 1; c < head.length; c++) {
+      const ys = rows.map(r => parseFloat(r[c])).filter(Number.isFinite);
+      if (!ys.length) continue;
+      const lo = Math.min(...ys), hi = Math.max(...ys), span = (hi - lo) || 1;
+      const pts = ys.map((y, i) =>
+        `${(i / Math.max(ys.length - 1, 1)) * 100},${52 - ((y - lo) / span) * 48}`
+      ).join(" L");
+      grid.insertAdjacentHTML("beforeend",
+        `<div class="card"><div class="k">${head[c]}</div>` +
+        `<div class="v">${ys[ys.length - 1].toPrecision(5)}</div>` +
+        `<svg viewBox="0 0 100 54" preserveAspectRatio="none">` +
+        `<path d="M${pts}"/></svg></div>`);
+    }
+    document.getElementById("stamp").textContent =
+      `epoch ${rows.length ? rows[rows.length - 1][0] : "-"} - ` +
+      new Date().toLocaleTimeString();
+  } catch (e) {
+    document.getElementById("stamp").textContent = "waiting for " + CSV;
+  }
+}
+tick(); setInterval(tick, REFRESH);
+</script></body></html>
+"""
+    html = html.replace("__CSV__", csv_name).replace(
+        "__REFRESH__", str(int(refresh_s))
+    )
+    with open(out_path, "w") as f:
+        f.write(html)
+    return out_path

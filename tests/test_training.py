@@ -190,3 +190,20 @@ def test_plot_metrics_png(tmp_path):
     import os
 
     assert os.path.exists(png) and os.path.getsize(png) > 1000
+
+
+def test_live_dashboard(tmp_path):
+    """The zero-dependency live view (the reference's visdom VizStats /
+    gluefactory TensorBoard role): one static HTML that polls the CSV."""
+    from comet_tpu.training.stats import CsvLogger, write_live_dashboard
+
+    path = str(tmp_path / "train_results.csv")
+    CsvLogger(path, fieldnames=["loss"]).log(0, {"loss": 1.0})
+    out = write_live_dashboard(path, refresh_s=7)
+    html = open(out).read()
+    assert out.endswith("dashboard.html")
+    # polls the sibling CSV by name, at the requested cadence
+    assert '"train_results.csv"' in html
+    assert "7 * 1000" in html
+    # renders a card + sparkline per metric column
+    assert "insertAdjacentHTML" in html and "<svg" in html
