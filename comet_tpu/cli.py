@@ -353,7 +353,7 @@ def cmd_train(args):
         if (epoch + 1) % cfg.train.eval_interval == 0:
             eval_metrics = evaluate(
                 model, params, eval_ds, cfg, keypoint_backend=args.keypoints,
-                max_sequences=args.max_sequences,
+                max_sequences=args.max_sequences, mesh=mesh,
             )
             print("eval:", {k: round(v, 4) for k, v in eval_metrics.items() if not k.startswith("Auc_scene")})
             _maybe_save_best(ckpt_dir, params, eval_metrics, epoch,

@@ -95,14 +95,16 @@ def _host_local_view(x):
 
 
 def batch_metrics(
-    aux: Dict[str, Any], gt_list: Sequence[CameraSet]
+    aux: Dict[str, Any], gt_list: Sequence[CameraSet],
+    seq_names: Optional[Sequence[str]] = None,
 ) -> List[Dict[str, float]]:
     """Per-sample host metric rows from a batched step output.
 
     Pairwise metrics must not mix frames across sequences, so the batch is
     sliced per sample before the float64 metric block. In multi-process
     runs only THIS process's batch rows are addressable; they correspond
-    one-to-one with ``gt_list`` (the local samples)."""
+    one-to-one with ``gt_list`` (the local samples). ``seq_names`` adds
+    the per-scene AUC keys (mesh-batched eval)."""
     aux = {k: _host_local_view(v) for k, v in aux.items()}
     rows = []
     for b, gt in enumerate(gt_list):
@@ -110,7 +112,8 @@ def batch_metrics(
             k: (v[b] if hasattr(v, "ndim") and v.ndim >= 2 else v)
             for k, v in aux.items()
         }
-        rows.append(metric_block(sample_out, gt))
+        name = seq_names[b] if seq_names else ""
+        rows.append(metric_block(sample_out, gt, name))
     return rows
 
 

