@@ -114,7 +114,11 @@ def run_train_benchmark(
     from .training.optim import build_optimizer
 
     cfg = cfg or get_config("ours")
-    cfg = cfg.replace(compute_dtype="float32")  # f32 masters, like training
+    # PRODUCTION training config: f32 master params (init default) with
+    # bf16 compute — the reference trains under Accelerate bf16 autocast
+    # (abl_ours.py:28) and cmd_train does the same. (The previous forced
+    # f32-compute variant measured 5.56 steps/s and found the Mosaic
+    # erf/VMEM f32 limits now handled by the kernel fallbacks.)
     model = COMET(cfg)
     s = cfg.seqlen
 
