@@ -53,6 +53,19 @@ def main():
     cfg = get_config("ours").replace(compute_dtype="float32")
     if seqlen:
         cfg = cfg.replace(seqlen=seqlen)
+    # COMET_PARITY_ITERS="c,f": tracker iteration override. With RANDOM
+    # weights the runtime iteration counts amplify any reduction-order
+    # difference chaotically (measured in PARITY_FULLSCALE.md), so the
+    # TP-vs-replicated correctness gate runs at 1,1; the runtime-count row
+    # is recorded too for the compile/runtime numbers.
+    it_env = os.environ.get("COMET_PARITY_ITERS")
+    if it_env:
+        import dataclasses
+
+        ci, fi = (int(x) for x in it_env.split(","))
+        cfg = cfg.replace(tracker=dataclasses.replace(
+            cfg.tracker, coarse_iters=ci, fine_iters=fi
+        ))
     if small:
         cfg = cfg.replace(
             seqlen=2, img_size=64, track_num=8,
