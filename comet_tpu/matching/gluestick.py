@@ -141,11 +141,18 @@ class AttentionalPropagationGS(nn.Module):
 
 
 class LineLayerGS(nn.Module):
-    """Line message passing (gluestick.py:583-686, line_attention=False
-    branch): one message per line endpoint from (its descriptor, the other
-    endpoint's descriptor, the line encoding), averaged onto each shared
-    junction token. The scatter-mean is a one-hot [T, 2K] contraction."""
+    """Line message passing (gluestick.py:583-686): one message per line
+    endpoint from (its descriptor, the other endpoint's descriptor, the
+    line encoding), aggregated onto each shared junction token. The
+    scatter is a one-hot [T, 2K] contraction.
 
+    ``line_attention=False`` (the reference default) scatter-MEANs the
+    messages; ``line_attention=True`` implements the attention branch
+    (:609-686): per-endpoint logits from a node projection (query) and a
+    neighbor+encoding projection (key), softmax-normalized per JUNCTION
+    over its incident endpoints, scatter-SUM of the weighted messages."""
+
+    line_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,12 +170,30 @@ class LineLayerGS(nn.Module):
         onehot = (
             (junc_idx[None, :] == jnp.arange(t)[:, None]) & lvalid[None, :]
         ).astype(jnp.float32)  # [T, 2K]
-        total = jnp.einsum(
-            "te,ed->td", onehot, msg.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        count = onehot.sum(axis=1, keepdims=True)
-        update = (total / jnp.maximum(count, 1.0)).astype(x.dtype)
+        if self.line_attention:
+            query = nn.Dense(d, dtype=self.dtype, name="proj_node")(x)
+            query = jnp.take(query, junc_idx, axis=0)  # [2K, D]
+            key = nn.Dense(d, dtype=self.dtype, name="proj_neigh")(
+                jnp.concatenate([flipped, line_enc], axis=-1)
+            )
+            s = (
+                (query * key).astype(jnp.float32).sum(-1)
+                / jnp.sqrt(jnp.float32(d))
+            )  # [2K]
+            e = jnp.where(lvalid, jnp.exp(s - jnp.max(s)), 0.0)
+            denom = onehot @ e  # [T] per-junction normalizer
+            prob = e / (jnp.take(denom, junc_idx) + 1e-8)  # [2K]
+            update = jnp.einsum(
+                "te,ed->td", onehot, (prob[:, None] * msg).astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        else:
+            total = jnp.einsum(
+                "te,ed->td", onehot, msg.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            count = onehot.sum(axis=1, keepdims=True)
+            update = (total / jnp.maximum(count, 1.0)).astype(x.dtype)
         return x + update
 
 
@@ -246,6 +271,7 @@ class GlueStickMatcher(nn.Module):
     num_heads: int = 4
     encoder_layers: Tuple[int, ...] = (32, 64, 128, 256)
     num_line_iterations: int = 1
+    line_attention: bool = False  # gluestick.py conf (default False)
     filter_threshold: float = 0.2
     dtype: jnp.dtype = jnp.float32
 
@@ -321,7 +347,10 @@ class GlueStickMatcher(nn.Module):
             )
             x0 = x0 + self_l(x0, x0, mask=tv0)
             x1 = x1 + self_l(x1, x1, mask=tv1)
-            line_l = LineLayerGS(dtype=self.dtype, name=f"line_{i}")
+            line_l = LineLayerGS(
+                line_attention=self.line_attention, dtype=self.dtype,
+                name=f"line_{i}",
+            )
             for _ in range(self.num_line_iterations):
                 x0 = line_l(x0, line_enc0, ji0_flat, ejv0)
                 x1 = line_l(x1, line_enc1, ji1_flat, ejv1)
@@ -439,6 +468,7 @@ register_model(
         "dim": 256,
         "num_heads": 4,
         "num_line_iterations": 1,
+        "line_attention": False,
         "filter_threshold": 0.2,
     },
 )(GlueStickMatcher)

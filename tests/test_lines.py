@@ -183,6 +183,31 @@ class TestGlueStick:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.7, losses[::5]
 
+    def test_line_attention_variant(self, rng):
+        """line_attention=True (gluestick.py:609-686): per-junction
+        softmax-weighted scatter-SUM instead of scatter-mean. Same output
+        contract; padded lines still excluded."""
+        n, k = 8, 4
+        kp = jnp.asarray(rng.uniform(-1, 1, size=(n, 2)), jnp.float32)
+        d = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+        ln = jnp.asarray(rng.uniform(-1, 1, size=(k, 2, 2)), jnp.float32)
+        ld = jnp.asarray(rng.normal(size=(k, 5, 8)), jnp.float32)
+        lv = jnp.asarray([True, True, True, False])
+        model = GlueStickMatcher(depth=1, dim=32, num_heads=2,
+                                 encoder_layers=(16,), line_attention=True)
+        params = model.init(jax.random.PRNGKey(0), kp, d, kp, d,
+                            ln, ld, ln, ld)
+        out = model.apply(params, kp, d, kp, d, ln, ld, ln, ld,
+                          lvalid0=lv, lvalid1=lv)
+        assert np.isfinite(np.asarray(out["line_log_assignment"])).all()
+        assert int(np.asarray(out["line_matches0"])[3]) == -1
+        # the attention branch has its own projections
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        names = {"/".join(str(getattr(p, "key", p)) for p in path)
+                 for path, _ in flat}
+        assert any("proj_node" in s for s in names)
+        assert any("proj_neigh" in s for s in names)
+
     def test_validity_masks_exclude_padding(self, rng):
         n, k = 8, 4
         kp = jnp.asarray(rng.uniform(-1, 1, size=(n, 2)), jnp.float32)
