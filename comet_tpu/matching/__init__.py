@@ -1,5 +1,14 @@
 from .registry import register_model, get_model, list_models, TwoViewPipeline
-from .matchers import mutual_nearest_neighbor, LightGlueMatcher, rotary_encode
+from .matchers import mutual_nearest_neighbor, rotary_encode
+from .lightglue import (
+    LearnableFourierPosEnc,
+    LightGlueMatcher,
+    confidence_threshold,
+    filter_matches,
+    lightglue_loss,
+    normalize_keypoints,
+    sigmoid_log_double_softmax,
+)
 from .sift import extract_sift, dog_keypoints, sift_descriptors, gaussian_blur
 from .extractors import make_superpoint
 from .gt_generation import (

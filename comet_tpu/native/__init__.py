@@ -109,6 +109,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "cometio_decode_frames"):
+        lib.cometio_decode_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     return lib
 
 
@@ -269,6 +275,35 @@ def load_masks(paths: List[str], n_threads: int = 0):
     if rc != 0:
         raise IOError(f"cometio_load_masks -> {rc}")
     return bboxes.astype(np.float64), mask0
+
+
+def decode_frames(paths: List[str], n_threads: int = 0) -> np.ndarray:
+    """Threaded RAW decode of same-sized frames -> uint8 [S, H, W, 3].
+
+    No resampling: this is the host half of the composed fast path
+    (native decode + XLA device crop/resize/normalize,
+    data/device_pipeline.py). All frames must share frame 0's size."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError(f"cometio unavailable: {_build_error}")
+    if not hasattr(lib, "cometio_decode_frames"):
+        raise RuntimeError("stale _cometio.so: rebuild (touch cometio.cpp)")
+    n = len(paths)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.cometio_image_size(paths[0].encode(), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"cometio_image_size({paths[0]}) -> {rc}")
+    out = np.empty((n, h.value, w.value, 3), np.uint8)
+    encoded = [p.encode() for p in paths]
+    arr = (ctypes.c_char_p * n)(*encoded)
+    rc = lib.cometio_decode_frames(
+        arr, n, w.value, h.value, _pool_size(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise IOError(f"cometio_decode_frames -> {rc}")
+    return out
 
 
 def load_sequence(

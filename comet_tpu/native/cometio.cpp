@@ -554,4 +554,51 @@ int cometio_load_sequence(const char** paths, int n, const int* box,
   return 0;
 }
 
+// Threaded RAW decode: n same-sized frames into a contiguous uint8
+// [n, h, w, 3] buffer, NO resampling — the companion of the XLA device
+// preprocessing path (data/device_pipeline.py), which crops/resizes/
+// normalizes on the accelerator. Caller passes the expected (w, h)
+// (probe frame 0 with cometio_image_size); a frame of any other size
+// fails with -3. Returns 0 on success, else the first frame error.
+int cometio_decode_frames(const char** paths, int n, int w, int h,
+                          int n_threads, uint8_t* out) {
+  if (n <= 0 || w <= 0 || h <= 0) return -1;
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? static_cast<int>(hw) : 4;
+  }
+  if (n_threads > n) n_threads = n;
+
+  std::atomic<int> next(0);
+  std::vector<int> status(n, 0);
+  const size_t frame_bytes = size_t(h) * w * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      std::vector<uint8_t> bytes, rgb;
+      int fw = 0, fh = 0;
+      if (read_file(paths[i], &bytes) != 0 ||
+          decode_rgb_bytes(bytes.data(), bytes.size(), &rgb, &fw, &fh) != 0) {
+        status[i] = -1;
+        continue;
+      }
+      if (fw != w || fh != h) {
+        status[i] = -3;
+        continue;
+      }
+      memcpy(out + size_t(i) * frame_bytes, rgb.data(), frame_bytes);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  for (int i = 0; i < n; i++)
+    if (status[i] != 0) return status[i];
+  return 0;
+}
+
 }  // extern "C"

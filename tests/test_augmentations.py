@@ -102,7 +102,7 @@ class TestConfigDrivenTraining:
         import optax
 
         from comet_tpu.matching.configs import get_experiment
-        from comet_tpu.matching.matchers import LightGlueMatcher
+        from comet_tpu.matching.lightglue import LightGlueMatcher
         from comet_tpu.matching.registry import get_model
         from comet_tpu.matching.train import (
             build_matcher_train_step,

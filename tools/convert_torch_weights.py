@@ -437,6 +437,103 @@ def convert(state_dict: Dict, template_params, cfg, strict=True):
     return {"params": unflatten_params(new_flat)}, missing, unmapped
 
 
+def build_lightglue_mapping(depth: int) -> Dict:
+    """flax path -> (torch key, transform) for the official LightGlue
+    checkpoint layout (gluefactory/models/matchers/lightglue.py:330-384
+    after its own self_attn.{i}/cross_attn.{i} -> transformers.{i}.*
+    renames). ``input_proj`` is absent from checkpoints whose input_dim ==
+    descriptor_dim (torch uses nn.Identity there) — convert() reports it
+    as missing and the caller seeds an identity kernel instead."""
+    out = {
+        "posenc/Wr/kernel": ("posenc.Wr.weight", t_linear),
+        "input_proj/kernel": ("input_proj.weight", t_linear),
+        "input_proj/bias": ("input_proj.bias", t_none),
+    }
+    for i in range(depth):
+        for blk, names in (
+            ("self_attn", ("Wqkv", "out_proj")),
+            ("cross_attn", ("to_qk", "to_v", "to_out")),
+        ):
+            fp = f"transformers_{i}/{blk}"
+            tp = f"transformers.{i}.{blk}"
+            for lin in names:
+                out[f"{fp}/{lin}/kernel"] = (f"{tp}.{lin}.weight", t_linear)
+                out[f"{fp}/{lin}/bias"] = (f"{tp}.{lin}.bias", t_none)
+            # ffn Sequential: 0=Linear(2d,2d), 1=LayerNorm, 3=Linear(2d,d)
+            out[f"{fp}/ffn_lin1/kernel"] = (f"{tp}.ffn.0.weight", t_linear)
+            out[f"{fp}/ffn_lin1/bias"] = (f"{tp}.ffn.0.bias", t_none)
+            out[f"{fp}/ffn_norm/scale"] = (f"{tp}.ffn.1.weight", t_none)
+            out[f"{fp}/ffn_norm/bias"] = (f"{tp}.ffn.1.bias", t_none)
+            out[f"{fp}/ffn_lin2/kernel"] = (f"{tp}.ffn.3.weight", t_linear)
+            out[f"{fp}/ffn_lin2/bias"] = (f"{tp}.ffn.3.bias", t_none)
+        for lin in ("matchability", "final_proj"):
+            out[f"log_assignment_{i}/{lin}/kernel"] = (
+                f"log_assignment.{i}.{lin}.weight", t_linear
+            )
+            out[f"log_assignment_{i}/{lin}/bias"] = (
+                f"log_assignment.{i}.{lin}.bias", t_none
+            )
+        if i < depth - 1:
+            out[f"token_confidence_{i}/token/kernel"] = (
+                f"token_confidence.{i}.token.0.weight", t_linear
+            )
+            out[f"token_confidence_{i}/token/bias"] = (
+                f"token_confidence.{i}.token.0.bias", t_none
+            )
+    return out
+
+
+def convert_lightglue(state_dict: Dict, template_params, depth: int = 9,
+                      strict: bool = True):
+    """Official LightGlue checkpoint (or any torch state_dict of the
+    reference architecture) -> comet_tpu.matching.lightglue params.
+
+    Handles the release renames (self_attn.{i} -> transformers.{i}.self_attn,
+    lightglue.py:378-384) and the Identity input_proj of checkpoints with
+    input_dim == descriptor_dim (seeded with an identity kernel)."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = re.sub(r"^(module|model|matcher)\.", "", k)
+        k = re.sub(r"^self_attn\.(\d+)\.", r"transformers.\1.self_attn.", k)
+        k = re.sub(r"^cross_attn\.(\d+)\.", r"transformers.\1.cross_attn.", k)
+        sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    mapping = build_lightglue_mapping(depth)
+    flat = flatten_params(template_params["params"])
+    new_flat = {}
+    missing, unmapped = [], []
+    for path, tmpl in flat.items():
+        tmpl = np.asarray(tmpl)
+        if path in mapping:
+            tk, tf = mapping[path]
+            if tk in sd:
+                arr = tf(sd[tk]).astype(tmpl.dtype)
+                if arr.shape != tmpl.shape:
+                    raise ValueError(
+                        f"shape mismatch for {path}: got {arr.shape}, "
+                        f"want {tmpl.shape}"
+                    )
+                new_flat[path] = arr
+            elif path == "input_proj/kernel" and tmpl.shape[0] == tmpl.shape[1]:
+                new_flat[path] = np.eye(tmpl.shape[0], dtype=tmpl.dtype)
+            elif path == "input_proj/bias":
+                new_flat[path] = np.zeros_like(tmpl)
+            else:
+                missing.append((path, tk))
+                new_flat[path] = tmpl
+        else:
+            unmapped.append(path)
+            new_flat[path] = tmpl
+    if strict and (missing or unmapped):
+        msg = []
+        if missing:
+            msg.append(f"missing torch keys for {len(missing)} leaves: {missing[:5]}")
+        if unmapped:
+            msg.append(f"no mapping for {len(unmapped)} flax leaves: {unmapped[:5]}")
+        raise KeyError("; ".join(msg))
+    return {"params": unflatten_params(new_flat)}, missing, unmapped
+
+
 SUPERPOINT_LAYERS = (
     "conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
     "conv4a", "conv4b", "convPa", "convPb", "convDa", "convDb",
