@@ -107,17 +107,16 @@ def _maybe_device_preprocess(dataset, args, keep_on_device=False):
     straight back to the device (the eval loop)."""
     device = getattr(args, "device_preprocess", False)
     native_loader = getattr(args, "loader", "pil") == "native"
-    if device and native_loader:
-        raise SystemExit(
-            "--device-preprocess and --loader native both replace the "
-            "preprocessing stage; pick one"
-        )
     if device:
         from .data.device_pipeline import DevicePreprocessDataset
 
+        # --loader native composes with --device-preprocess (round 4):
+        # C++ threaded raw decode on the host, crop/resize/normalize as
+        # one jitted graph on the accelerator
         return DevicePreprocessDataset(
             dataset, resample=getattr(args, "device_resample", "bilinear"),
             keep_on_device=keep_on_device,
+            decode="native" if native_loader else "pil",
         )
     if native_loader:
         from .data.native_loader import NativeLoaderDataset
@@ -225,9 +224,14 @@ def cmd_train(args):
 
     import numpy as np
 
+    windowed = getattr(args, "windowed", False)
+    train_seq_len = (
+        (getattr(args, "train_seq_len", None) or 2 * cfg.seqlen)
+        if windowed else cfg.seqlen
+    )
     train_ds = AMDDataset(
         os.path.join(cfg.data_root, "AMD_train"), crop_size=cfg.img_size,
-        seq_len=cfg.seqlen, use_augs=True, seed=cfg.train.seed,
+        seq_len=train_seq_len, use_augs=True, seed=cfg.train.seed,
     )
     eval_ds = AMDDataset(
         os.path.join(cfg.data_root, "AMD_eval"), crop_size=cfg.img_size,
@@ -243,26 +247,46 @@ def cmd_train(args):
     # this is just the local device count
     n_devices = args.n_devices or jax.device_count()
     global_batch = args.global_batch or n_devices
-    local_batch = max(global_batch // jax.process_count(), 1)
     local_len = len(
         range(jax.process_index(), len(train_ds), jax.process_count())
     )
-    # Tiny datasets: batches are drop_last (static shapes), so a batch
-    # wider than the local shard would yield ZERO steps per epoch. Clamp
-    # the batch to the data, and the mesh to a width that divides the
-    # batch (the leading axis must shard evenly over the 'data' axis).
-    if 0 < local_len < local_batch:
-        local_batch = local_len
-        global_batch = local_batch * jax.process_count()
-        print(
-            f"note: dataset smaller than the requested batch — clamped to "
-            f"global batch {global_batch}"
-        )
-    n_devices = math.gcd(n_devices, global_batch)
     if jax.process_count() > 1:
-        # the mesh MUST span every process's devices (a sub-mesh of the
-        # cluster is not expressible); keep it at least one per process
-        n_devices = max(n_devices, jax.process_count())
+        # ADVICE r3 #4: in multi-process runs the mesh MUST span every
+        # process's devices (jit rejects non-addressable shards under a
+        # prefix mesh), and an uneven global batch would silently floor
+        # each process's share — error out instead of shrinking.
+        n_devices = jax.device_count()
+        if global_batch % jax.process_count() != 0:
+            raise SystemExit(
+                f"--global-batch {global_batch} must be divisible by the "
+                f"process count {jax.process_count()}"
+            )
+        if global_batch % n_devices != 0:
+            raise SystemExit(
+                f"--global-batch {global_batch} must be divisible by the "
+                f"global device count {n_devices} (one mesh row per device)"
+            )
+        local_batch = global_batch // jax.process_count()
+        if 0 < local_len < local_batch:
+            raise SystemExit(
+                f"dataset shard ({local_len} sequences/process) smaller "
+                f"than the per-process batch {local_batch}; lower "
+                f"--global-batch"
+            )
+    else:
+        local_batch = max(global_batch, 1)
+        # Tiny datasets: batches are drop_last (static shapes), so a batch
+        # wider than the local shard would yield ZERO steps per epoch.
+        # Clamp the batch to the data, and the mesh to a width that
+        # divides the batch (the leading axis must shard evenly).
+        if 0 < local_len < local_batch:
+            local_batch = local_len
+            global_batch = local_batch
+            print(
+                f"note: dataset smaller than the requested batch — clamped "
+                f"to global batch {global_batch}"
+            )
+        n_devices = math.gcd(n_devices, global_batch)
     mesh = (
         make_mesh(n_data=n_devices)
         if (n_devices > 1 or jax.process_count() > 1)
@@ -279,7 +303,25 @@ def cmd_train(args):
         cfg.train.warmup_ratio, cfg.train.warmup_lr_init, cfg.train.clip_grad,
     )
     opt_state = tx.init(params)
-    train_step = build_train_step(model, cfg, tx)
+    if windowed:
+        from .training.loop import build_windowed_train_step
+
+        train_step = build_windowed_train_step(model, cfg, tx, cfg.seqlen)
+        tf_sched = None
+        if args.tf_start > 0:
+            from .models.windowed import TeacherForcingScheduler
+
+            tf_sched = TeacherForcingScheduler(
+                args.tf_start, args.tf_end, args.tf_epochs
+            )
+        print(
+            f"windowed training: T={train_seq_len} frames in windows of "
+            f"{cfg.seqlen}, teacher forcing "
+            + (f"{args.tf_start} -> {args.tf_end} over {args.tf_epochs} "
+               f"epochs" if tf_sched else "off")
+        )
+    else:
+        train_step = build_train_step(model, cfg, tx)
 
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
     start_epoch = 0
@@ -299,7 +341,8 @@ def cmd_train(args):
 
     logger = CsvLogger(
         os.path.join(args.output_dir, "train_results.csv"),
-        fieldnames=("loss", "loss_rot", "loss_trans", *TO_PLOT_METRICS),
+        fieldnames=("loss", "loss_rot", "loss_trans", "tf_ratio",
+                    *TO_PLOT_METRICS),
     )
     try:
         from .training.stats import write_live_dashboard
@@ -332,10 +375,36 @@ def cmd_train(args):
             if step_i % cfg.train.print_interval == 0:
                 print(stats.status_string(step_i, steps_per_epoch, "train"))
 
-        params, opt_state, _ = fit_epoch(
-            train_step, params, opt_state, train_ds, seed_fn,
-            local_batch, order, mesh=mesh, on_metrics=on_metrics,
-        )
+        if windowed:
+            # long-sequence teacher-forced training: batch 1, one
+            # in-graph windowed scan per sequence (no mesh batching —
+            # the sequence axis IS the work)
+            from .training.loop import make_gt_cameras, metric_block
+
+            import jax.numpy as jnp
+
+            tf_ratio = tf_sched.ratio(epoch) if tf_sched else 0.0
+            for step_i, seq_idx in enumerate(order):
+                sample = train_ds[seq_idx]
+                queries = seed_fn(sample)
+                gt_cams = make_gt_cameras(sample)
+                use_tf = bool(
+                    tf_sched and tf_sched.use_teacher_forcing(epoch, rng)
+                )
+                params, opt_state, aux = train_step(
+                    params, opt_state,
+                    jnp.asarray(sample.images)[None],
+                    jnp.asarray(queries)[None],
+                    gt_cams, teacher_force=use_tf,
+                )
+                row = metric_block(aux, gt_cams)
+                row["tf_ratio"] = tf_ratio
+                on_metrics(step_i, [row])
+        else:
+            params, opt_state, _ = fit_epoch(
+                train_step, params, opt_state, train_ds, seed_fn,
+                local_batch, order, mesh=mesh, on_metrics=on_metrics,
+            )
 
         logger.log(epoch, stats.averages())
         if epoch > 0:
@@ -941,6 +1010,33 @@ def main(argv=None):
                 "--eval-interval", type=int, default=None,
                 help="epochs between eval passes "
                 "(default: config train.eval_interval)",
+            )
+            p.add_argument(
+                "--windowed", action="store_true",
+                help="teacher-forced windowed training: each training "
+                "sequence is --train-seq-len frames long, the model runs "
+                "in sliding windows of seqlen (one in-graph lax.scan) and "
+                "the pose loss covers the stitched global trajectory; "
+                "chain anchors are teacher-forced from GT with a "
+                "probability annealed 1.0 -> 0.2 (the reference's "
+                "TeacherForcingScheduler, E2Epose2.py:40-56)",
+            )
+            p.add_argument(
+                "--train-seq-len", type=int, default=None,
+                help="windowed mode: total frames per training sequence "
+                "(default 2 * seqlen)",
+            )
+            p.add_argument(
+                "--tf-start", type=float, default=1.0,
+                help="windowed mode: initial teacher-forcing ratio",
+            )
+            p.add_argument(
+                "--tf-end", type=float, default=0.2,
+                help="windowed mode: final teacher-forcing ratio",
+            )
+            p.add_argument(
+                "--tf-epochs", type=int, default=300,
+                help="windowed mode: epochs over which the ratio anneals",
             )
             p.add_argument(
                 "--coordinator", default=None, metavar="HOST:PORT",

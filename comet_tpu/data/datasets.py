@@ -136,6 +136,10 @@ class SequenceSample:
     seq_name: str
     image_names: List[str]
     first_mask: np.ndarray  # [H, W] bool
+    # optional host-resident uint8 preview of the preprocessed frame 0 so
+    # keypoint seeding never pulls a device-resident image back (set by
+    # the device-preprocess fast path; None on the PIL parity path)
+    frame0_u8: Optional[np.ndarray] = None
 
 
 class VideoPoseDataset:

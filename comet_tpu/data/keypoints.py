@@ -27,7 +27,12 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def denormalize_image(img: np.ndarray) -> np.ndarray:
-    """[H, W, 3] ImageNet-normalized float -> uint8."""
+    """[H, W, 3] ImageNet-normalized float -> uint8 (uint8 passes through:
+    the device-preprocess path supplies a host-resident u8 preview so
+    seeding never reads the device image back)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
     x = img * _IMAGENET_STD + _IMAGENET_MEAN
     return np.clip(x * 255.0, 0, 255).astype(np.uint8)
 

@@ -131,8 +131,15 @@ class AttentionalPropagationGS(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if mask is not None:
-            logits = jnp.where(mask[None, None, :], logits, -jnp.inf)
+            # ADVICE r3 #3: a fully-False mask (zero valid tokens in one
+            # image — the reference early-exits that case dynamically,
+            # gluestick.py _forward) would softmax all -inf to NaN and
+            # poison the OTHER image through cross-attention. Finite fill
+            # + zeroing the weights yields a zero message instead.
+            logits = jnp.where(mask[None, None, :], logits, _NEG)
         w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if mask is not None:
+            w = jnp.where(mask.any(), w, 0.0)
         msg = jnp.einsum("hqk,khd->qhd", w, v).reshape(-1, d)
         msg = nn.Dense(d, dtype=self.dtype, name="merge")(msg)
         return GSMLP((2 * d, d), dtype=self.dtype, name="mlp")(

@@ -129,10 +129,14 @@ class DinoViT(nn.Module):
             (1, num_patches + 1, self.embed_dim),
         ).astype(self.dtype)
         if (gh, gw) != (grid, grid):
-            patch_pos = jax.image.resize(
+            # torch-bicubic (a=-0.75, no antialias): matches DINOv2's
+            # interpolate_pos_encoding and the offline converter resample
+            # (ADVICE r3 #2 — jax.image.resize "cubic" is a=-0.5 + AA)
+            from ..ops.bilinear import resize_bicubic_torch
+
+            patch_pos = resize_bicubic_torch(
                 pos_embed[0, 1:].reshape(grid, grid, self.embed_dim),
-                (gh, gw, self.embed_dim),
-                "cubic",
+                gh, gw,
             ).reshape(1, gh * gw, self.embed_dim)
             pos_embed = jnp.concatenate([pos_embed[:, :1], patch_pos], axis=1)
 

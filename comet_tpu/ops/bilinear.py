@@ -86,6 +86,52 @@ def interp_matrix_align_corners(n_in: int, n_out: int) -> jax.Array:
     return m
 
 
+def interp_matrix_bicubic_torch(n_in: int, n_out: int, a: float = -0.75) -> jax.Array:
+    """[n_out, n_in] 1-D bicubic matrix matching torch
+    ``F.interpolate(mode="bicubic", align_corners=False, antialias=False)``:
+    half-pixel source coordinates, Keys cubic-convolution kernel with
+    a=-0.75, border-replicated taps. (ADVICE r3 #2: jax.image.resize's
+    "cubic" is Catmull-Rom a=-0.5 WITH antialiasing when downscaling —
+    numerically different from the torch/DINOv2 pos-embed resample.)"""
+    src = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    f = jnp.floor(src)
+    frac = src - f
+    i0 = f.astype(jnp.int32)
+
+    def kernel(t):
+        at = jnp.abs(t)
+        return jnp.where(
+            at <= 1.0,
+            (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0,
+            jnp.where(
+                at < 2.0,
+                a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a,
+                0.0,
+            ),
+        )
+
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    rows = jnp.arange(n_out)
+    for j in (-1, 0, 1, 2):
+        idx = jnp.clip(i0 + j, 0, n_in - 1)
+        m = m.at[rows, idx].add(kernel(jnp.float32(j) - frac))
+    return m
+
+
+def resize_bicubic_torch(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Resize [..., H, W, C] with torch-bicubic semantics (a=-0.75,
+    align_corners=False, no antialias) as two MXU matmuls — the runtime
+    twin of the converter's offline pos-embed resample
+    (tools/convert_torch_weights.py resample_pos_embed / DINOv2
+    interpolate_pos_encoding)."""
+    h, w = x.shape[-3], x.shape[-2]
+    mh = interp_matrix_bicubic_torch(h, out_h).astype(x.dtype)
+    mw = interp_matrix_bicubic_torch(w, out_w).astype(x.dtype)
+    x = jnp.einsum("oh,...hwc->...owc", mh, x)
+    x = jnp.einsum("ow,...hwc->...hoc", mw, x)
+    return x
+
+
 def resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Resize [..., H, W, C] to [..., out_h, out_w, C], align_corners=True.
 

@@ -133,7 +133,12 @@ def _lane_packed_attend(q, k, v, num_heads, d, scale, lq):
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    w = (e / denom).astype(q.dtype)
+    # ADVICE r3 #1: the row max is shared across ALL heads' column blocks;
+    # a head whose logits sit ~88+ below the row's global max underflows
+    # its whole exp block to 0 and 0/0 would emit NaN. Clamping the
+    # denominator turns that (already fully-saturated-softmax) case into
+    # exact zeros instead.
+    w = (e / jnp.maximum(denom, 1e-30)).astype(q.dtype)
     vp = jnp.concatenate([v3] * num_heads, axis=1) * mask  # [g, hl, C]
     return jax.lax.dot_general(
         w, vp,

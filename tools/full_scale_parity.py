@@ -286,7 +286,8 @@ def main(small: bool = False):
         "date": time.strftime("%Y-%m-%d"),
         "config": "small-smoke" if small else
                   "full: dinov2b@336 pos37, att_depth=4, trunk_depth=4, "
-                  "coarse 128/384/6 it4, fine 32/256/4 it2, S=16 512px N=512",
+                  f"coarse 128/384/6 it{tc.coarse_iters}, "
+                  f"fine 32/256/4 it{tc.fine_iters}, S=16 512px N=512",
         "params_M": round(n_params / 1e6, 1),
         "max_abs_diff": {"pred_pose_enc": d_pose, "pred_track_px": d_track,
                          "track_score": d_score},

@@ -83,6 +83,8 @@ def main():
             ),
         )
 
+    train = "--train" in sys.argv
+
     model = COMET(cfg)
     b = 2
     rng = np.random.default_rng(0)
@@ -93,6 +95,9 @@ def main():
         (rng.random((b, cfg.track_num, 2)) * (cfg.img_size - 64) + 32)
         .astype(np.float32)
     )
+
+    if train:
+        return run_train(cfg, model, images, queries, small)
 
     t0 = time.time()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, queries)
@@ -165,6 +170,133 @@ def main():
         if not os.path.exists(path):
             with open(path, "w") as f:
                 f.write(header)
+        with open(path, "a") as f:
+            f.write("```json\n" + json.dumps(row) + "\n```\n")
+    return 0 if ok else 1
+
+
+def run_train(cfg, model, images, queries, small):
+    """Round-4 (VERDICT r3 item 5): ONE FULL TRAIN STEP — pose loss grad +
+    masked AdamW update — executed under the (data=2, model=4) mesh with
+    TP-sharded params, diffed against the replicated train step on the
+    same batch. Evidence that tensor-parallel TRAINING (not just the
+    forward) partitions correctly."""
+    import time
+
+    from comet_tpu.geometry.cameras import CameraSet
+    from comet_tpu.parallel.mesh import make_mesh, shard_params_tp
+    from comet_tpu.training.loop import build_train_step
+    from comet_tpu.training.optim import build_optimizer
+
+    b = images.shape[0]
+    s = cfg.seqlen
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(b, s, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t_uvz = rng.normal(size=(b, s, 3)).astype(np.float32)
+    t_uvz[..., 2] = 3.0
+    gt = CameraSet(
+        q=jnp.asarray(q),
+        t_xyz=jnp.asarray(rng.normal(size=(b, s, 3)).astype(np.float32)),
+        t_uvz=jnp.asarray(t_uvz),
+        focal=jnp.full((b, s, 2), 1745.0, jnp.float32),
+        pp=jnp.full((b, s, 2), cfg.img_size / 2.0, jnp.float32),
+        ratio=jnp.full((b,), 0.5, jnp.float32),
+    )
+
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, queries)
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(params) if hasattr(x, "size")
+    )
+    print(f"[{time.time() - t0:7.1f}s] init: {n_params / 1e6:.1f}M params",
+          flush=True)
+
+    tx, _ = build_optimizer(params, base_lr=1e-3, steps_per_epoch=100)
+    step = build_train_step(model, cfg, tx)
+
+    # replicated reference step
+    t0 = time.time()
+    opt_state = tx.init(params)
+    p_ref, _, aux_ref = step(params, opt_state, images, queries, gt)
+    jax.block_until_ready(p_ref)
+    ref_s = time.time() - t0
+    loss_ref = float(aux_ref["loss"])
+    print(f"[{ref_s:7.1f}s] replicated train step: loss={loss_ref:.5f}",
+          flush=True)
+    p_ref_host = jax.tree_util.tree_map(np.asarray, p_ref)
+    del p_ref, opt_state, aux_ref
+
+    # TP step: shard params; opt moments inherit shardings via zeros_like
+    mesh = make_mesh(n_data=2, n_model=4)
+    tp_params = shard_params_tp(mesh, params)
+    del params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_sharded = sum(
+        1 for x in jax.tree_util.tree_leaves(tp_params)
+        if hasattr(x, "sharding") and x.sharding.spec != P()
+    )
+    n_leaves = len(jax.tree_util.tree_leaves(tp_params))
+    batch_shard = NamedSharding(mesh, P("data"))
+    images_s = jax.device_put(images, batch_shard)
+    queries_s = jax.device_put(queries, batch_shard)
+    gt_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_shard), gt
+    )
+    tp_opt = tx.init(tp_params)
+
+    t0 = time.time()
+    lowered = step.lower(tp_params, tp_opt, images_s, queries_s, gt_s)
+    lower_s = time.time() - t0
+    print(f"[{lower_s:7.1f}s] TP train-step lowering done", flush=True)
+    t0 = time.time()
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    print(f"[{compile_s:7.1f}s] TP train-step compile done", flush=True)
+
+    t0 = time.time()
+    p_tp, _, aux_tp = compiled(tp_params, tp_opt, images_s, queries_s, gt_s)
+    jax.block_until_ready(p_tp)
+    run_s = time.time() - t0
+    loss_tp = float(aux_tp["loss"])
+
+    # updated-parameter agreement (flatten; compare only leaves that moved
+    # in either run so the frozen tracker's zero-updates don't mask a bug)
+    diffs = []
+    flat_ref = jax.tree_util.tree_leaves_with_path(p_ref_host)
+    flat_tp = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(np.asarray, p_tp)
+    ))
+    for path, ref_leaf in flat_ref:
+        tp_leaf = flat_tp[path]
+        diffs.append(float(np.max(np.abs(ref_leaf - tp_leaf))))
+    d = max(diffs)
+    ok = bool(
+        d < 1e-3
+        and np.isfinite(loss_tp)
+        and abs(loss_tp - loss_ref) < 1e-3 * max(1.0, abs(loss_ref))
+    )
+    row = {
+        "date": time.strftime("%Y-%m-%d"),
+        "config": ("small-train-smoke" if small else
+                   f"full 'ours' TRAIN step (grad + masked AdamW), "
+                   f"seqlen={cfg.seqlen}, img={cfg.img_size}, "
+                   f"N={cfg.track_num}, B=2"),
+        "mesh": "(data=2, model=4), 8 virtual CPU devices",
+        "params_M": round(n_params / 1e6, 1),
+        "tp_sharded_leaves": f"{n_sharded}/{n_leaves}",
+        "lower_s": round(lower_s, 1),
+        "compile_s": round(compile_s, 1),
+        "run_s": round(run_s, 1),
+        "loss_replicated": loss_ref,
+        "loss_tp": loss_tp,
+        "max_abs_updated_param_diff": d,
+        "ok": ok,
+    }
+    print(json.dumps(row), flush=True)
+    if not small:
+        path = os.path.join(_REPO, "TP_EVIDENCE.md")
         with open(path, "a") as f:
             f.write("```json\n" + json.dumps(row) + "\n```\n")
     return 0 if ok else 1
