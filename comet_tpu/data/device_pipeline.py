@@ -250,11 +250,44 @@ class DevicePreprocessDataset:
             }
         return self.base.load_sequence_raw(seq_name)
 
+    def _transfer_crop(self, frames_u8: np.ndarray, square: np.ndarray):
+        """Slice the frames to the (margin-padded, 128-bucketed) crop
+        square on the HOST before the h2d transfer, shifting the crop box
+        into the slice's frame.
+
+        Round-4 measurement: the tunneled chip moves ~21 MB/s host->device
+        (full 16x480x640x3 u8 frames = 14.7 MB = ~680 ms/sequence — the
+        dominant cost of the whole data path). Only pixels the resample
+        kernels can touch matter: the square plus a support margin
+        (Lanczos-3 reach = 3*max(box/out, 1) source pixels). Bucketing the
+        slice to multiples of 128 keeps the jit signature count small.
+        Content inside the margin is identical and everything outside the
+        image stays zero-weighted, so the device output is unchanged."""
+        s, h, w, _ = frames_u8.shape
+        x0, y0, x1, y1 = [float(v) for v in square]
+        box = max(x1 - x0, y1 - y0, 1.0)
+        m = int(np.ceil(3.0 * max(box / self.crop_size, 1.0))) + 2
+        cx0 = min(max(int(np.floor(x0)) - m, 0), w)
+        cy0 = min(max(int(np.floor(y0)) - m, 0), h)
+        cx1 = max(min(int(np.ceil(x1)) + m, w), cx0)
+        cy1 = max(min(int(np.ceil(y1)) + m, h), cy0)
+        ch, cw = max(cy1 - cy0, 1), max(cx1 - cx0, 1)
+        bh = min(-(-ch // 128) * 128, -(-h // 128) * 128)
+        bw = min(-(-cw // 128) * 128, -(-w // 128) * 128)
+        out = np.zeros((s, bh, bw, 3), np.uint8)
+        out[:, :ch, :cw] = frames_u8[:, cy0:cy1, cx0:cx1]
+        shifted = np.asarray(
+            [x0 - cx0, y0 - cy0, x1 - cx0, y1 - cy0], np.float32
+        )
+        return out, shifted
+
     def __getitem__(self, index: int) -> SequenceSample:
         raw = self._load_raw(self.seq_names[index])
-        square = jnp.asarray(raw["square"])
+        crop_u8, shifted = self._transfer_crop(
+            raw["frames_u8"], raw["square"]
+        )
         images = preprocess_frames(
-            jnp.asarray(raw["frames_u8"]), square, self.crop_size,
+            jnp.asarray(crop_u8), jnp.asarray(shifted), self.crop_size,
             self.resample,
         )
         first_mask = _host_nearest_mask(
