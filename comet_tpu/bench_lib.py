@@ -183,6 +183,7 @@ def run_eval_data_benchmark(
     device_preprocess: bool = True,
     resample: str = "bilinear",
     seed: int = 0,
+    eval_batch: int = 4,
 ) -> Dict:
     """End-to-end eval throughput WITH real data: disk decode + keypoint
     seeding + (device) preprocessing + jitted eval step, seq/s.
@@ -236,13 +237,13 @@ def run_eval_data_benchmark(
     # compile pass (1 sequence), then median of 3 timed passes over n
     # sequences (round-3 methodology gap: n=4, ONE pass, no median — the
     # suite swung 1.60 -> 1.30 between runs on tunnel jitter alone)
-    evaluate(model, params, dataset, cfg, max_sequences=1,
-             print_fn=lambda *a: None)
+    evaluate(model, params, dataset, cfg, max_sequences=min(eval_batch, n),
+             print_fn=lambda *a: None, eval_batch=eval_batch)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         evaluate(model, params, dataset, cfg, max_sequences=n,
-                 print_fn=lambda *a: None)
+                 print_fn=lambda *a: None, eval_batch=eval_batch)
         times.append(max(time.perf_counter() - t0, 1e-9))
     times.sort()
     elapsed = times[1]
@@ -256,5 +257,6 @@ def run_eval_data_benchmark(
         "vs_baseline": round(seq_per_sec / REFERENCE_SEQ_PER_SEC, 3),
         "n_sequences": n,
         "n_passes": 3,
+        "eval_batch": eval_batch,
         "device": str(jax.devices()[0]),
     }

@@ -56,6 +56,12 @@ def _common(parser):
         "LANCZOS — identical samples, ~3x faster host side)",
     )
     parser.add_argument(
+        "--eval-batch", type=int, default=1,
+        help="eval: sequences batched per jitted step on one device "
+        "(amortizes per-step dispatch/fetch latency; the data bench "
+        "defaults to 4)",
+    )
+    parser.add_argument(
         "--demo-seq-len", type=int, default=None,
         help="demo: total frames per sequence; when > seqlen the model runs "
         "in sliding windows of seqlen with pose chaining (windowed mode)",
@@ -169,6 +175,7 @@ def cmd_eval(args):
     metrics = evaluate(
         model, params, dataset, cfg,
         keypoint_backend=args.keypoints, max_sequences=args.max_sequences,
+        eval_batch=getattr(args, "eval_batch", 1) or 1,
     )
     metrics["lr"] = 0.0
     logger.log(0, metrics)

@@ -55,8 +55,13 @@ def build_batch(
     """Stack host samples into one static-shape device batch.
 
     Returns (images [B,S,H,W,3], queries [B,N,2], batched gt CameraSet,
-    per-sample gt CameraSets for the host metric block)."""
-    images = jnp.asarray(np.stack([s.images for s in samples]))
+    per-sample gt CameraSets for the host metric block). Device-resident
+    images (the device-preprocess fast path with keep_on_device) stack
+    with jnp so they never round-trip through the host."""
+    if all(isinstance(s.images, jax.Array) for s in samples):
+        images = jnp.stack([s.images for s in samples])
+    else:
+        images = jnp.asarray(np.stack([np.asarray(s.images) for s in samples]))
     q = jnp.asarray(np.stack(queries))
     gt_list = [make_gt_cameras(s) for s in samples]
     return images, q, stack_camera_sets(gt_list), gt_list

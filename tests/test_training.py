@@ -198,6 +198,21 @@ class TestEvaluateLoop:
                 metrics_m[key], v, rtol=2e-3, atol=2e-4, err_msg=key
             )
 
+        # single-device BATCHED eval (round 4 eval_batch: amortizes the
+        # tunneled chip's per-step dispatch/fetch latency) must also
+        # reproduce the sequential averages
+        metrics_b = evaluate(
+            model, params, ds, cfg, keypoint_backend="grid",
+            print_fn=lambda *_: None, eval_batch=2,
+        )
+        assert set(metrics_b) == set(metrics)
+        for key, v in metrics.items():
+            if key == "sec/it":
+                continue
+            np.testing.assert_allclose(
+                metrics_b[key], v, rtol=2e-3, atol=2e-4, err_msg=key
+            )
+
 
 def test_plot_metrics_png(tmp_path):
     from comet_tpu.training.stats import CsvLogger, plot_metrics_png
