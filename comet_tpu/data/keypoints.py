@@ -46,10 +46,23 @@ def detect_corners(img_u8: np.ndarray, max_pts: int) -> np.ndarray:
         gray, maxCorners=max_pts, qualityLevel=0.01, minDistance=3
     )
     corners = pts.reshape(-1, 2) if pts is not None else np.zeros((0, 2))
-    # DoG keypoints (SIFT-detector stand-in, no descriptors needed)
+    # DoG keypoints (SIFT-detector stand-in, no descriptors needed).
+    # Detection runs at HALF resolution with coordinates scaled back:
+    # the Gaussian pyramid build is the whole cost (measured 129 ms at
+    # 512^2 vs 27 ms at 256^2 on this 1-core host — the single largest
+    # input-pipeline stage), DoG extrema are scale-covariant, and the
+    # sub-pixel detail lost matters little because these are track
+    # QUERY SEEDS refined by the tracker, not correspondences
+    # (metric spread across seeding backends is bounded by
+    # tests/test_keypoint_sensitivity.py). Full-resolution Shi-Tomasi
+    # above keeps fine corner localization in the mix.
+    h, w = gray.shape
+    half = cv2.resize(gray, (max(w // 2, 8), max(h // 2, 8)),
+                      interpolation=cv2.INTER_AREA)
     sift = cv2.SIFT_create(nfeatures=max_pts)
-    kps = sift.detect(gray, None)
-    dog = np.array([k.pt for k in kps], np.float32).reshape(-1, 2)
+    kps = sift.detect(half, None)
+    scale = np.asarray([w / half.shape[1], h / half.shape[0]], np.float32)
+    dog = np.array([k.pt for k in kps], np.float32).reshape(-1, 2) * scale
     out = np.concatenate([corners, dog], axis=0) if len(dog) else corners
     return out.astype(np.float32)
 

@@ -99,6 +99,36 @@ def _host_local_view(x):
     return x
 
 
+# The only step-output keys the host metric block reads
+# (training/loop.py metric_block). Fetching anything else — notably
+# pred_track [B,S,N,2] — is wasted device->host traffic.
+METRIC_FETCH_KEYS = (
+    "pred_pose_enc", "gt_pose_enc", "pred_q", "pred_t",
+    "loss", "loss_trans", "loss_rot",
+)
+
+
+def start_metric_fetch(aux: Dict[str, Any]) -> Dict[str, Any]:
+    """Begin the device->host transfer of the metric keys WITHOUT blocking.
+
+    Round-4 data-bench attribution (tools/profile_data_bench.py): the
+    per-chunk metric fetch cost ~200 ms FLAT regardless of batch size —
+    nine sequential ``np.asarray`` calls each paying the tunnel's ~22 ms
+    round trip, two of them for arrays the metric block never reads.
+    ``copy_to_host_async`` queues all transfers back to back (one RTT
+    total) and they complete as soon as the producing step does, so a
+    caller that dispatches the NEXT step before materializing these
+    metrics hides the fetch entirely behind device compute."""
+    out = {k: aux[k] for k in METRIC_FETCH_KEYS if k in aux}
+    for v in out.values():
+        if isinstance(v, jax.Array) and v.is_fully_addressable:
+            try:
+                v.copy_to_host_async()
+            except Exception:  # pragma: no cover — backend-dependent
+                pass
+    return out
+
+
 def batch_metrics(
     aux: Dict[str, Any], gt_list: Sequence[CameraSet],
     seq_names: Optional[Sequence[str]] = None,
@@ -110,7 +140,14 @@ def batch_metrics(
     runs only THIS process's batch rows are addressable; they correspond
     one-to-one with ``gt_list`` (the local samples). ``seq_names`` adds
     the per-scene AUC keys (mesh-batched eval)."""
-    aux = {k: _host_local_view(v) for k, v in aux.items()}
+    aux = start_metric_fetch(aux)
+    # materialize ONCE per key: slicing a jax.Array per sample inside the
+    # loop would dispatch a device gather (plus a tunnel round trip) per
+    # (key, sample) pair — 28 round trips per chunk of 4
+    aux = {
+        k: np.asarray(_host_local_view(v)) if hasattr(v, "shape") else v
+        for k, v in aux.items()
+    }
     rows = []
     for b, gt in enumerate(gt_list):
         sample_out = {
@@ -163,6 +200,8 @@ def fit_epoch(
         params, opt_state, aux = train_step(
             params, opt_state, images, queries, gt_b
         )
+        if on_metrics is not None:
+            aux = start_metric_fetch(aux)
         if pending is not None and on_metrics is not None:
             pi, paux, pgt = pending
             on_metrics(pi, batch_metrics(paux, pgt))

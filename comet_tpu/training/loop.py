@@ -19,7 +19,7 @@ import optax
 from ..config import CometConfig
 from ..data.datasets import SequenceSample
 from ..data.keypoints import seed_query_points
-from ..geometry.cameras import CameraSet, make_camera_set
+from ..geometry.cameras import CameraSet
 from ..metrics import (
     auc_from_histogram_prefix,
     auc_histogram,
@@ -31,13 +31,22 @@ from .stats import RunningStats
 
 
 def make_gt_cameras(sample: SequenceSample) -> CameraSet:
-    return make_camera_set(
-        q=sample.q_wxyz,
-        t_xyz=sample.t_xyz,
-        t_uvz=sample.t_uvz,
-        focal=np.full((sample.q_wxyz.shape[0], 2), 1745.0, np.float32),
-        pp=None,
-        ratio=sample.ratio,
+    """HOST-resident (numpy) gt CameraSet from a dataset sample.
+
+    The leaves stay numpy on purpose: the per-sample gt is consumed by
+    the host f64 metric block, and a jnp-backed CameraSet makes every
+    ``np.asarray(gt.q)`` there a device fetch — two tunnel round trips
+    (~22 ms each) per sequence on this environment's chip. Device
+    consumers (jitted eval/train steps, stack_camera_sets) convert numpy
+    leaves at dispatch exactly as before."""
+    n = sample.q_wxyz.shape[0]
+    return CameraSet(
+        q=np.asarray(sample.q_wxyz, np.float32),
+        t_xyz=np.asarray(sample.t_xyz, np.float32),
+        t_uvz=np.asarray(sample.t_uvz, np.float32),
+        focal=np.full((n, 2), 1745.0, np.float32),
+        pp=np.zeros((n, 2), np.float32),
+        ratio=np.float32(sample.ratio).reshape(()),
     )
 
 
@@ -310,6 +319,26 @@ def evaluate(
             queries = [seed(s) for s in samples]
             return chunk, samples, queries
 
+        def flush(pend):
+            # drop padded rows: local row r is real iff its position in
+            # the padded chunk indexes a real sequence
+            p_ci, p_chunk, p_out, p_gt, p_names = pend
+            rows = batch_metrics(p_out, p_gt, seq_names=p_names)
+            for r, row in enumerate(rows):
+                if p_lo + r < len(p_chunk):
+                    stats.update(row)
+            if p_ci % print_interval == 0:
+                print_fn(stats.status_string(p_ci * d, n, "eval"))
+
+        # chunk i+1 is DISPATCHED before chunk i's metrics are
+        # materialized: the device computes i+1 while the host fetches
+        # (already-complete, async-started) outputs of i and runs the
+        # f64 metric block — on the tunneled chip the fetch + metric
+        # math cost ~270 ms/chunk of wall-clock when serialized
+        # (tools/profile_data_bench.py round-4 attribution)
+        pending = None
+        from .data_parallel import start_metric_fetch
+
         for ci, (chunk, samples, queries) in enumerate(
             prefetch(produce_chunk, n_chunks, depth=2)
         ):
@@ -317,16 +346,13 @@ def evaluate(
             if meshed:
                 images, q, gt_b = shard_train_inputs(mesh, images, q, gt_b)
             out = eval_step(params, images, q, gt_b)
-            rows = batch_metrics(
-                out, gt_list, seq_names=[s.seq_name for s in samples]
-            )
-            # drop padded rows: local row r is real iff its position in
-            # the padded chunk indexes a real sequence
-            for r, row in enumerate(rows):
-                if p_lo + r < len(chunk):
-                    stats.update(row)
-            if ci % print_interval == 0:
-                print_fn(stats.status_string(ci * d, n, "eval"))
+            out = start_metric_fetch(out)
+            if pending is not None:
+                flush(pending)
+            pending = (ci, chunk, out, gt_list,
+                       [s.seq_name for s in samples])
+        if pending is not None:
+            flush(pending)
         if n_proc > 1:
             return _merge_process_averages(stats)
         return stats.averages()
@@ -348,6 +374,12 @@ def evaluate(
 
     from ..data.prefetch import prefetch
 
+    # same deferred-fetch pipeline as the batched path: sequence i+1 is
+    # dispatched before sequence i's metrics are materialized, so the
+    # fetch + f64 metric math hide behind device compute
+    from .data_parallel import start_metric_fetch
+
+    pending = None
     for i, (sample, queries) in enumerate(prefetch(produce, n, depth=3)):
         gt_cams = make_gt_cameras(sample)
         out = eval_step(
@@ -356,8 +388,14 @@ def evaluate(
             jnp.asarray(queries)[None],
             gt_cams,
         )
-        metrics = metric_block(out, gt_cams, sample.seq_name)
-        stats.update(metrics)
-        if i % print_interval == 0:
-            print_fn(stats.status_string(i, n, "eval"))
+        out = start_metric_fetch(out)
+        if pending is not None:
+            pi, pout, pgt, pname = pending
+            stats.update(metric_block(pout, pgt, pname))
+            if pi % print_interval == 0:
+                print_fn(stats.status_string(pi, n, "eval"))
+        pending = (i, out, gt_cams, sample.seq_name)
+    if pending is not None:
+        pi, pout, pgt, pname = pending
+        stats.update(metric_block(pout, pgt, pname))
     return stats.averages()
