@@ -62,7 +62,12 @@ def detect_corners(img_u8: np.ndarray, max_pts: int) -> np.ndarray:
     sift = cv2.SIFT_create(nfeatures=max_pts)
     kps = sift.detect(half, None)
     scale = np.asarray([w / half.shape[1], h / half.shape[0]], np.float32)
-    dog = np.array([k.pt for k in kps], np.float32).reshape(-1, 2) * scale
+    # pixel-center-correct mapping (cv2.resize convention): the center of
+    # half-res pixel x sits at full-res (x + 0.5) * s - 0.5, not x * s —
+    # a plain multiply would bias every DoG seed ~0.5-1 px bottom-right
+    dog = (
+        np.array([k.pt for k in kps], np.float32).reshape(-1, 2) + 0.5
+    ) * scale - 0.5
     out = np.concatenate([corners, dog], axis=0) if len(dog) else corners
     return out.astype(np.float32)
 

@@ -40,7 +40,7 @@ from ..parallel.mesh import (
     replicated,
     shard_batch,
 )
-from .loop import make_gt_cameras, metric_block
+from .loop import METRIC_FETCH_KEYS, make_gt_cameras, metric_block
 
 
 def stack_camera_sets(cams: Sequence[CameraSet]) -> CameraSet:
@@ -99,13 +99,7 @@ def _host_local_view(x):
     return x
 
 
-# The only step-output keys the host metric block reads
-# (training/loop.py metric_block). Fetching anything else — notably
-# pred_track [B,S,N,2] — is wasted device->host traffic.
-METRIC_FETCH_KEYS = (
-    "pred_pose_enc", "gt_pose_enc", "pred_q", "pred_t",
-    "loss", "loss_trans", "loss_rot",
-)
+_ASYNC_COPY_WARNED = False
 
 
 def start_metric_fetch(aux: Dict[str, Any]) -> Dict[str, Any]:
@@ -124,8 +118,20 @@ def start_metric_fetch(aux: Dict[str, Any]) -> Dict[str, Any]:
         if isinstance(v, jax.Array) and v.is_fully_addressable:
             try:
                 v.copy_to_host_async()
-            except Exception:  # pragma: no cover — backend-dependent
-                pass
+            except (NotImplementedError, RuntimeError) as e:
+                # backends without async copy degrade to the synchronous
+                # fetch; warn ONCE so a persistent failure (which would
+                # silently cost ~200 ms/chunk) is visible
+                global _ASYNC_COPY_WARNED
+                if not _ASYNC_COPY_WARNED:  # pragma: no cover
+                    _ASYNC_COPY_WARNED = True
+                    import warnings
+
+                    warnings.warn(
+                        "copy_to_host_async unavailable on this backend "
+                        f"({e!r}); metric fetch falls back to synchronous "
+                        "transfers", RuntimeWarning,
+                    )
     return out
 
 

@@ -166,6 +166,17 @@ def build_windowed_train_step(
     return step
 
 
+# The only step-output keys metric_block reads. data_parallel's
+# start_metric_fetch uses this to fetch exactly these keys (anything
+# else — notably pred_track [B,S,N,2] — is wasted device->host traffic);
+# keeping the list NEXT to metric_block makes the coupling explicit, and
+# tests/test_training.py asserts every key metric_block touches is here.
+METRIC_FETCH_KEYS = (
+    "pred_pose_enc", "gt_pose_enc", "pred_q", "pred_t",
+    "loss", "loss_trans", "loss_rot",
+)
+
+
 def metric_block(
     step_out: Dict[str, Any], gt_cams: CameraSet, seq_name: str = ""
 ) -> Dict[str, float]:
@@ -379,6 +390,12 @@ def evaluate(
     # fetch + f64 metric math hide behind device compute
     from .data_parallel import start_metric_fetch
 
+    def flush_seq(p):
+        pi, pout, pgt, pname = p
+        stats.update(metric_block(pout, pgt, pname))
+        if pi % print_interval == 0:
+            print_fn(stats.status_string(pi, n, "eval"))
+
     pending = None
     for i, (sample, queries) in enumerate(prefetch(produce, n, depth=3)):
         gt_cams = make_gt_cameras(sample)
@@ -390,12 +407,8 @@ def evaluate(
         )
         out = start_metric_fetch(out)
         if pending is not None:
-            pi, pout, pgt, pname = pending
-            stats.update(metric_block(pout, pgt, pname))
-            if pi % print_interval == 0:
-                print_fn(stats.status_string(pi, n, "eval"))
+            flush_seq(pending)
         pending = (i, out, gt_cams, sample.seq_name)
     if pending is not None:
-        pi, pout, pgt, pname = pending
-        stats.update(metric_block(pout, pgt, pname))
+        flush_seq(pending)
     return stats.averages()

@@ -214,6 +214,58 @@ class TestEvaluateLoop:
             )
 
 
+def test_metric_fetch_keys_cover_metric_block():
+    """METRIC_FETCH_KEYS must name every step-output key metric_block
+    reads (ADVICE r4): start_metric_fetch drops everything else before
+    the host fetch, so a key read by metric_block but missing from the
+    tuple would silently report the .get() default instead of failing."""
+    from comet_tpu.geometry.cameras import make_camera_set
+    from comet_tpu.training.loop import METRIC_FETCH_KEYS, metric_block
+
+    accessed = set()
+
+    class RecordingDict(dict):
+        def __getitem__(self, k):
+            accessed.add(k)
+            return dict.__getitem__(self, k)
+
+        def get(self, k, default=None):
+            accessed.add(k)
+            return dict.get(self, k, default)
+
+    S = 4
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(S, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    step_out = RecordingDict(
+        pred_q=q.astype(np.float32),
+        pred_t=rng.normal(size=(S, 3)).astype(np.float32),
+        pred_pose_enc=rng.normal(size=(S, 7)).astype(np.float32),
+        gt_pose_enc=rng.normal(size=(S, 8)).astype(np.float32),
+        loss=1.0, loss_trans=0.5, loss_rot=0.5,
+        # a key the metric block must NOT need — present to prove the
+        # recording dict only logs genuine reads
+        pred_track=np.zeros((1, S, 8, 2), np.float32),
+    )
+    gt = make_camera_set(
+        q=q, t_xyz=rng.normal(size=(S, 3)),
+        t_uvz=rng.normal(size=(S, 3)),
+        focal=np.full((S, 2), 268.444), pp=np.full((S, 2), 256.0),
+        ratio=1.0,
+    )
+    out = metric_block(step_out, gt, "seqX")
+    assert np.isfinite(out["R_avg"])
+    extra = accessed - set(METRIC_FETCH_KEYS)
+    assert not extra, (
+        f"metric_block reads {sorted(extra)} not in METRIC_FETCH_KEYS — "
+        "start_metric_fetch would silently drop them"
+    )
+    # and the canonical definition is the one data_parallel fetches with
+    from comet_tpu.training import data_parallel
+
+    assert data_parallel.METRIC_FETCH_KEYS is METRIC_FETCH_KEYS
+
+
 def test_plot_metrics_png(tmp_path):
     from comet_tpu.training.stats import CsvLogger, plot_metrics_png
 
