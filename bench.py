@@ -91,7 +91,7 @@ def main():
     if os.environ.get("COMET_BENCH_SUITES", "all") == "all":
         for name, fn in (
             ("train", lambda: run_train_benchmark(cfg, warmup=1, reps=4)),
-            ("data", lambda: run_eval_data_benchmark(cfg, max_sequences=8)),
+            ("data", lambda: run_eval_data_benchmark(cfg)),
         ):
             try:
                 row = fn()

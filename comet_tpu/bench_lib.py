@@ -179,11 +179,11 @@ def run_train_benchmark(
 def run_eval_data_benchmark(
     cfg: CometConfig = None,
     data_root: str = None,
-    max_sequences: int = 8,
+    max_sequences: int = 16,
     device_preprocess: bool = True,
     resample: str = "bilinear",
     seed: int = 0,
-    eval_batch: int = 4,
+    eval_batch: int = 2,
 ) -> Dict:
     """End-to-end eval throughput WITH real data: disk decode + keypoint
     seeding + (device) preprocessing + jitted eval step, seq/s.
@@ -236,7 +236,16 @@ def run_eval_data_benchmark(
 
     # compile pass (1 sequence), then median of 3 timed passes over n
     # sequences (round-3 methodology gap: n=4, ONE pass, no median — the
-    # suite swung 1.60 -> 1.30 between runs on tunnel jitter alone)
+    # suite swung 1.60 -> 1.30 between runs on tunnel jitter alone).
+    # Round 5: n=16, eval_batch=2 — at n=8/d=4 the pipeline fill (~310 ms:
+    # chunk 0 produced with nothing overlapping it) plus drain (~355 ms:
+    # the last chunk's eval + metric fetch with nothing left to hide them
+    # behind) were 45% of each pass's wall-clock, so the suite measured
+    # pipeline ends, not throughput; and with the round-4 async metric
+    # fetch in place, smaller chunks pipeline FINER (producer pace 77
+    # ms/seq vs device 92 ms/seq interleave per-sequence instead of
+    # per-4) — measured same-host ladder: n=8/d=4 7.43, n=16/d=4 9.05,
+    # n=16/d=2 10.41, n=16/d=1 10.48 seq/s (BENCH_HISTORY round 5).
     evaluate(model, params, dataset, cfg, max_sequences=min(eval_batch, n),
              print_fn=lambda *a: None, eval_batch=eval_batch)
     times = []
