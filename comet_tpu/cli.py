@@ -661,7 +661,7 @@ def cmd_bench(args):
     if which in ("data", "all"):
         print(json.dumps(run_eval_data_benchmark(
             cfg, data_root=args.data_root,
-            max_sequences=args.max_sequences or 8,
+            max_sequences=args.max_sequences or 16,
         )))
 
 
