@@ -83,7 +83,15 @@ def torch_lightglue():
     from _stubs import ModuleOverlay
 
     overlay = ModuleOverlay()
-    if "omegaconf" not in sys.modules:
+    # Overlay not just when omegaconf is absent but also when an earlier
+    # test left a LESSER stub resident (test_harness_parity's _torch_ref
+    # stub has no OmegaConf.create, which the gluefactory BaseModel import
+    # needs — running the full suite in one process skipped both parity
+    # tests here until this check looked at adequacy, not presence).
+    resident = sys.modules.get("omegaconf")
+    if resident is None or not hasattr(
+        getattr(resident, "OmegaConf", None), "create"
+    ):
         overlay.set("omegaconf", _omegaconf_stub())
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
