@@ -926,7 +926,28 @@ def _match_train(args):
     })))
 
 
+def _maybe_enable_compile_cache():
+    """Opt-in persistent XLA compilation cache (COMET_COMPILE_CACHE=dir).
+
+    Full-model compiles cost 20-40 s+ per jit signature on a TPU host
+    (remote compile on the tunneled dev chip); the persistent cache makes
+    every CLI invocation after the first start in seconds. Opt-in rather
+    than default because the cache key covers jaxlib/XLA versions but not
+    external state like a moved checkpoint layout, and because the
+    experimental axon plugin's executable serialization is unverified —
+    on standard TPU/CPU backends this is the stock jax feature
+    (jax_compilation_cache_dir)."""
+    cache_dir = os.environ.get("COMET_COMPILE_CACHE")
+    if not cache_dir:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    _maybe_enable_compile_cache()
     parser = argparse.ArgumentParser("comet_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     pm = sub.add_parser("match", help="run a named matching experiment")

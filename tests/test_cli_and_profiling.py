@@ -56,6 +56,31 @@ class TestCliParsing:
         assert (cfg.seqlen, cfg.img_size, cfg.track_num) == (8, 256, 64)
 
 
+class TestCompileCache:
+    def test_opt_in_knob(self, monkeypatch, tmp_path):
+        """COMET_COMPILE_CACHE=dir enables jax's persistent compilation
+        cache; unset leaves the config untouched (opt-in only)."""
+        import jax
+
+        from comet_tpu.cli import _maybe_enable_compile_cache
+
+        monkeypatch.delenv("COMET_COMPILE_CACHE", raising=False)
+        before = jax.config.jax_compilation_cache_dir
+        _maybe_enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == before
+
+        cache = str(tmp_path / "xla_cache")
+        monkeypatch.setenv("COMET_COMPILE_CACHE", cache)
+        try:
+            _maybe_enable_compile_cache()
+            assert jax.config.jax_compilation_cache_dir == cache
+            assert (
+                jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+            )
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
+
+
 class TestProfilingHarness:
     def test_benchmark_fn_reports_sane_timing(self):
         from comet_tpu.utils.profiling import benchmark_fn
