@@ -177,6 +177,28 @@ class Timer:
             print(f"[{self.name}] Elapsed: {self.duration}")
 
 
+def benchmark_model(fn, data, r: int = 100, warmup: int = 10) -> dict:
+    """Model-timing micro-benchmark: {"mean": ms, "std": ms} over ``r``
+    timed calls of ``fn(data)`` (gluefactory/utils/benchmark.py:7-33).
+
+    The reference brackets each call with CUDA events + a sync; the TPU
+    equivalent of "sync" is blocking on the output pytree, so each rep
+    times dispatch + device execution + the readiness round-trip. The
+    ``warmup`` calls absorb jit compilation (the reference's 10 warmup
+    calls play the same role for cudnn autotuning).
+    """
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(data))
+    timings = np.zeros((r,))
+    for rep in range(r):
+        start = time.perf_counter()
+        jax.block_until_ready(fn(data))
+        timings[rep] = (time.perf_counter() - start) * 1e3
+    return {"mean": float(timings.sum() / r), "std": float(np.std(timings))}
+
+
 def get_class(mod_path: str, base_class):
     """The single subclass of `base_class` defined in module `mod_path`
     (tools.py:193-206); used by registry-style plugin loading."""

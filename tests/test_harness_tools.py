@@ -153,6 +153,29 @@ class TestTimerAndRng:
         with pytest.raises(ValueError):
             get_class("comet_tpu.matching.inspect_frames", PairPlot)
 
+    def test_benchmark_model(self):
+        """gluefactory/utils/benchmark.py parity: mean/std ms over r reps,
+        warmup absorbs compilation."""
+        import jax
+        import jax.numpy as jnp
+
+        from comet_tpu.matching.tools import benchmark_model
+
+        calls = []
+
+        @jax.jit
+        def fn(x):
+            return (x * 2.0).sum()
+
+        def counted(x):
+            calls.append(1)
+            return fn(x)
+
+        out = benchmark_model(counted, jnp.ones((64, 64)), r=5, warmup=2)
+        assert set(out) == {"mean", "std"}
+        assert out["mean"] > 0 and out["std"] >= 0
+        assert len(calls) == 7  # warmup + r, like the reference's loop
+
 
 class TestImagePreprocessor:
     def _sizes_match_reference(self, h, w, conf):
