@@ -665,6 +665,35 @@ def cmd_bench(args):
         )))
 
 
+def cmd_export(args):
+    """AOT serving export: serialize the jitted flagship forward to a
+    portable jax.export/StableHLO artifact + JSON manifest sidecar.
+
+    The serving process loads the artifact and calls it — no model
+    Python needed (utils/serving.py; the reference instead re-imports
+    the full torch model class to serve best.bin, test_e2epose2.py:46-94).
+    Weights stay a runtime input: one artifact serves every checkpoint
+    of its configuration (restore one with serving.params_from_msgpack).
+    """
+    from .utils import serving
+    from .models import COMET
+
+    cfg = _build(args)
+    model = COMET(cfg)
+    platforms = [p.strip() for p in args.platforms.split(",")] if args.platforms else None
+    exp = serving.export_forward(
+        model, cfg, batch=args.batch, platforms=platforms,
+        params_dtype=cfg.dtype,
+    )
+    out = args.output or os.path.join(
+        args.output_dir, f"comet_{args.preset}_forward.jaxexport"
+    )
+    manifest = serving.save_exported(
+        exp, out, cfg=cfg, extra_manifest={"preset": args.preset}
+    )
+    print(json.dumps({"artifact": out, **manifest}, sort_keys=True))
+
+
 def cmd_match(args):
     """Matching-stack entry point (the gluefactory train/eval scripts'
     role): run a NAMED experiment (configs.py, the configs/*.yaml
@@ -1002,9 +1031,27 @@ def main(argv=None):
                     "for every image under DIR to <exp-dir>/features.h5 "
                     "(served back by matching.CacheLoader)")
     pm.set_defaults(fn=cmd_match)
-    for name, fn in [("eval", cmd_eval), ("train", cmd_train), ("demo", cmd_demo), ("bench", cmd_bench)]:
+    for name, fn in [("eval", cmd_eval), ("train", cmd_train), ("demo", cmd_demo), ("bench", cmd_bench), ("export", cmd_export)]:
         p = sub.add_parser(name)
         _common(p)
+        if name == "export":
+            p.add_argument(
+                "--output", default=None,
+                help="artifact path (default "
+                "<output-dir>/comet_<preset>_forward.jaxexport); a JSON "
+                "manifest sidecar is written next to it",
+            )
+            p.add_argument(
+                "--batch", type=int, default=1,
+                help="serving batch size baked into the artifact "
+                "(B=1 is the measured per-chip throughput optimum, "
+                "PROFILE.md round-5 batching table)",
+            )
+            p.add_argument(
+                "--platforms", default=None,
+                help="comma-separated lowering platforms (e.g. 'tpu' or "
+                "'tpu,cpu'); default: the current backend",
+            )
         if name == "bench":
             p.add_argument(
                 "--suite", default="infer",
