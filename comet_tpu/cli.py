@@ -681,16 +681,24 @@ def cmd_export(args):
     cfg = _build(args)
     model = COMET(cfg)
     platforms = [p.strip() for p in args.platforms.split(",")] if args.platforms else None
-    exp = serving.export_forward(
-        model, cfg, batch=args.batch, platforms=platforms,
-        params_dtype=cfg.dtype,
-    )
-    out = args.output or os.path.join(
-        args.output_dir, f"comet_{args.preset}_forward.jaxexport"
-    )
-    manifest = serving.save_exported(
-        exp, out, cfg=cfg, extra_manifest={"preset": args.preset}
-    )
+    extra = {"preset": args.preset}
+    if args.seq_frames:
+        # long-sequence serving: the whole sliding-window chain as ONE
+        # lax.scan graph (models/windowed.windowed_forward_scan)
+        exp = serving.export_windowed(
+            model, cfg, total_frames=args.seq_frames, platforms=platforms,
+            params_dtype=cfg.dtype,
+        )
+        stem = f"comet_{args.preset}_windowed{args.seq_frames}"
+        extra["total_frames"] = args.seq_frames
+    else:
+        exp = serving.export_forward(
+            model, cfg, batch=args.batch, platforms=platforms,
+            params_dtype=cfg.dtype,
+        )
+        stem = f"comet_{args.preset}_forward"
+    out = args.output or os.path.join(args.output_dir, stem + ".jaxexport")
+    manifest = serving.save_exported(exp, out, cfg=cfg, extra_manifest=extra)
     print(json.dumps({"artifact": out, **manifest}, sort_keys=True))
 
 
@@ -1051,6 +1059,13 @@ def main(argv=None):
                 "--platforms", default=None,
                 help="comma-separated lowering platforms (e.g. 'tpu' or "
                 "'tpu,cpu'); default: the current backend",
+            )
+            p.add_argument(
+                "--seq-frames", type=int, default=None,
+                help="export the windowed long-sequence forward for "
+                "sequences of this many frames instead of the seqlen "
+                "forward (the whole sliding-window chain as one lax.scan "
+                "graph)",
             )
         if name == "bench":
             p.add_argument(

@@ -42,6 +42,7 @@ from jax import export as jax_export
 
 __all__ = [
     "export_forward",
+    "export_windowed",
     "save_exported",
     "load_exported",
     "serving_call",
@@ -102,20 +103,70 @@ def export_forward(
         return model.apply(params, images, queries)
 
     plats = list(platforms) if platforms is not None else None
-    checks = []
-    if plats is not None and any(p.lower() == "tpu" for p in plats):
-        checks.append(
-            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")
-        )
-    elif plats is None and jax.default_backend() not in ("cpu",):
-        checks.append(
-            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")
-        )
     return jax_export.export(
         jax.jit(fwd),
         platforms=plats,
-        disabled_checks=checks,
+        disabled_checks=_disabled_checks(plats),
     )(p_spec, i_spec, q_spec)
+
+
+def _disabled_checks(plats):
+    """Mosaic kernels lower to `tpu_custom_call`, which jax.export does
+    not guarantee stable across libtpu versions — opt in when lowering
+    for TPU (the manifest records the jax version for fleet pinning)."""
+    tpu_bound = (
+        any(p.lower() == "tpu" for p in plats)
+        if plats is not None
+        else jax.default_backend() not in ("cpu",)
+    )
+    if tpu_bound:
+        return [jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    return []
+
+
+def export_windowed(
+    model,
+    cfg,
+    total_frames: int,
+    platforms: Optional[Sequence[str]] = None,
+    params_dtype=None,
+) -> jax_export.Exported:
+    """Export the long-sequence windowed-scan forward as one artifact.
+
+    Serves sequences of `total_frames` (> cfg.seqlen) frames: the whole
+    sliding-window chain — seeded-query handoff, pose-anchor chaining —
+    runs as ONE lax.scan XLA computation (models/windowed.py
+    `windowed_forward_scan`, the in-graph formulation of the reference's
+    `E2Epose2.forward_window`). Signature of the exported function:
+    ``(params, images [1,T,H,W,3], queries [1,N,2], ratio []) ->
+    (pose_enc [1,T,7], tracks [1,T,N,2])``.
+    """
+    from ..models.windowed import windowed_forward_scan
+
+    p_spec, _i, q_spec = _forward_specs(model, cfg, batch=1)
+    if params_dtype is not None:
+        p_spec = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, params_dtype)
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else s,
+            p_spec,
+        )
+    images = jax.ShapeDtypeStruct(
+        (1, total_frames, cfg.img_size, cfg.img_size, 3), jnp.float32
+    )
+    ratio = jax.ShapeDtypeStruct((), jnp.float32)
+
+    def fwd(params, images, queries, ratio):
+        pose_enc, tracks = windowed_forward_scan(
+            lambda im, q: model.apply(params, im, q),
+            images, queries, window_len=cfg.seqlen, ratio=ratio,
+        )
+        return pose_enc, tracks
+
+    plats = list(platforms) if platforms is not None else None
+    return jax_export.export(
+        jax.jit(fwd), platforms=plats, disabled_checks=_disabled_checks(plats)
+    )(p_spec, images, q_spec, ratio)
 
 
 def _tree_summary(tree) -> Dict[str, Any]:

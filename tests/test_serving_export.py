@@ -132,6 +132,42 @@ class TestServingExport:
         out = exp2.call(restored, b["images"], b["queries"])
         assert np.isfinite(np.asarray(out["pred_pose_enc"])).all()
 
+    def test_windowed_export(self, exported_bundle, tmp_path):
+        """The long-sequence windowed-scan graph exports, round-trips,
+        and executes: T=2*seqlen-1 frames through one lax.scan artifact
+        (serialization losslessness itself is pinned by
+        test_roundtrip_bit_exact; here one execution suffices)."""
+        b = exported_bundle
+        cfg = b["cfg"]
+        t_total = 2 * cfg.seqlen - 1
+        exp = serving.export_windowed(
+            b["model"], cfg, total_frames=t_total, platforms=["cpu"]
+        )
+        path = str(tmp_path / "windowed.jaxexport")
+        manifest = serving.save_exported(
+            exp, path, cfg=cfg, extra_manifest={"total_frames": t_total}
+        )
+        assert manifest["total_frames"] == t_total
+        exp2 = serving.load_exported(path)
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(
+            rng.normal(
+                size=(1, t_total, cfg.img_size, cfg.img_size, 3)
+            ).astype(np.float32)
+        )
+        pose_enc, tracks = exp2.call(
+            b["params"], images, b["queries"], jnp.float32(0.5)
+        )
+        assert pose_enc.shape == (1, t_total, 7)
+        assert tracks.shape == (1, t_total, cfg.track_num, 2)
+        assert np.isfinite(np.asarray(pose_enc)).all()
+        # frame 0 is the identity anchor of the chain
+        np.testing.assert_allclose(
+            np.asarray(pose_enc[0, 0]),
+            np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32),
+            atol=1e-6,
+        )
+
     def test_shape_mismatch_rejected(self, exported_bundle, tmp_path):
         b = exported_bundle
         bad = jax.tree_util.tree_map(lambda x: x, b["params"])
